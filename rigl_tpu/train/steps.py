@@ -1,0 +1,160 @@
+"""Jitted train/eval steps.
+
+The whole iteration — forward, backward, optimizer, and the conditional mask
+update — is ONE jitted function, so on TPU it is a single XLA executable with
+the mask-update branch compiled in as a ``lax.cond`` (the reference reached
+the same shape with TF's in-graph cond, imagenet call stack in SURVEY.md
+§3.1).  Under a sharded-batch jit, gradient reduction over the data axis is
+inserted automatically by XLA (GSPMD) — this also covers the reference's
+explicit ``cross_replica_sum`` of RigL grow-score gradients
+(sparse_optimizers_base.py:471-476), since the same reduced gradient feeds
+both the optimizer and the grow scores.
+
+Loss: label-smoothed softmax cross-entropy + L2 on the *effective* (masked)
+kernels (imagenet_train_eval.py:573-584).  Because the backward pass is taken
+w.r.t. effective params, L2 decay acts only on active connections; inactive
+weights are never read, so dynamics are unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from rigl_tpu.sparsity import masks as masks_lib
+from rigl_tpu.train.train_state import TrainState
+from rigl_tpu.transforms.sparse_training import SparseTraining
+
+
+def cross_entropy_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+                       label_smoothing: float = 0.0) -> jnp.ndarray:
+  """Mean softmax CE with optional label smoothing; labels are int class ids."""
+  num_classes = logits.shape[-1]
+  onehot = jax.nn.one_hot(labels, num_classes)
+  if label_smoothing > 0:
+    onehot = (onehot * (1.0 - label_smoothing)
+              + label_smoothing / num_classes)
+  return optax.softmax_cross_entropy(logits.astype(jnp.float32),
+                                     onehot).mean()
+
+
+def l2_regularization(params: Any, weight_decay: float) -> jnp.ndarray:
+  """L2 on kernels/biases, excluding normalization params (the reference
+  filters out 'batch_normalization' variables, imagenet_train_eval.py:582)."""
+  if weight_decay == 0.0:
+    return jnp.zeros((), jnp.float32)
+  total = jnp.zeros((), jnp.float32)
+  for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+    p = masks_lib.path_str(path)
+    name = p.rsplit('/', 1)[-1]
+    parent = p.lower()
+    if name in ('scale',) or 'bn' in parent.split('/')[-2:][0].lower():
+      continue
+    if name == 'bias' and ('bn' in parent or 'norm' in parent):
+      continue
+    total = total + jnp.sum(jnp.square(leaf.astype(jnp.float32)))
+  return weight_decay * total
+
+
+def make_train_step(
+    model,
+    st: SparseTraining,
+    weight_decay: float = 0.0,
+    label_smoothing: float = 0.0,
+    has_batch_stats: bool = True,
+    has_dropout: bool = False,
+) -> Callable[[TrainState, Dict[str, jnp.ndarray]],
+              Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+  """Builds the fused train step for `model` + sparse-training config `st`."""
+
+  def loss_fn(eff_params, batch_stats, batch, rng):
+    # `eff_params` is the {'params': ...}-wrapped tree (mask paths are
+    # relative to the inner tree; path_str strips the wrapper).
+    variables = {'params': eff_params['params']}
+    if has_batch_stats:
+      variables['batch_stats'] = batch_stats
+      logits, updates = model.apply(
+          variables, batch['image'], train=True, mutable=['batch_stats'],
+          rngs={'dropout': rng} if has_dropout else None)
+      new_batch_stats = updates['batch_stats']
+    else:
+      logits = model.apply(variables, batch['image'], train=True,
+                           rngs={'dropout': rng} if has_dropout else None)
+      new_batch_stats = batch_stats
+    loss = cross_entropy_loss(logits, batch['label'], label_smoothing)
+    loss = loss + l2_regularization(eff_params, weight_decay)
+    return loss, (logits, new_batch_stats)
+
+  def train_step(state: TrainState, batch):
+    rng, step_rng = jax.random.split(state.rng)
+    # Differentiate w.r.t. the *effective* params: one backward pass yields
+    # dense gradients at masked leaves (see transforms/sparse_training.py).
+    eff = masks_lib.apply_masks(state.params, state.sparse.masks)
+    (loss, (logits, new_batch_stats)), dense_grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(eff, state.batch_stats, batch, step_rng)
+    params, opt_state, sstate, st_metrics = st.step(
+        state.params, state.opt_state, state.sparse, dense_grads)
+    new_state = state.replace(
+        params=params, batch_stats=new_batch_stats, opt_state=opt_state,
+        sparse=sstate, rng=rng)
+    acc = jnp.mean(
+        (jnp.argmax(logits, -1) == batch['label']).astype(jnp.float32))
+    metrics = {'loss': loss, 'accuracy': acc, 'step': sstate.step}
+    metrics.update(st_metrics)
+    return new_state, metrics
+
+  return train_step
+
+
+def make_eval_step(model, has_batch_stats: bool = True):
+  """Top-1/top-5 eval step on masked params (imagenet_train_eval.py:596-615)."""
+
+  def eval_step(state: TrainState, batch):
+    eff = masks_lib.apply_masks(state.params, state.sparse.masks)
+    variables = {'params': eff['params']}
+    if has_batch_stats:
+      variables['batch_stats'] = state.batch_stats
+    logits = model.apply(variables, batch['image'], train=False)
+    logits = logits.astype(jnp.float32)
+    labels = batch['label']
+    top1 = (jnp.argmax(logits, -1) == labels).astype(jnp.float32)
+    top5 = jnp.any(
+        jax.lax.top_k(logits, min(5, logits.shape[-1]))[1] == labels[:, None],
+        axis=-1).astype(jnp.float32)
+    loss = cross_entropy_loss(logits, labels)
+    return {
+        'loss': loss,
+        'top_1': jnp.mean(top1),
+        'top_5': jnp.mean(top5),
+        'count': jnp.asarray(labels.shape[0], jnp.float32),
+    }
+
+  return eval_step
+
+
+def init_train_state(
+    key: jax.Array,
+    model,
+    st: SparseTraining,
+    input_shape: Tuple[int, ...],
+    has_batch_stats: bool = True,
+) -> TrainState:
+  """Initializes model variables, masks, and optimizer state."""
+  param_key, mask_key, rng = jax.random.split(key, 3)
+  variables = model.init(param_key, jnp.zeros(input_shape), train=False)
+  params = variables['params']
+  batch_stats = variables.get('batch_stats', {}) if has_batch_stats else {}
+  opt_state, sstate = st.init(mask_key, {'params': params})
+  # SparseTraining paths are relative to the {'params': ...} wrapper; keep
+  # params wrapped consistently.
+  return TrainState(
+      params={'params': params},
+      batch_stats=batch_stats,
+      opt_state=opt_state,
+      sparse=sstate,
+      rng=rng,
+  )

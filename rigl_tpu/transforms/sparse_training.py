@@ -1,0 +1,387 @@
+"""The sparse-training state machine: one function, fully jit-traceable.
+
+This replaces the reference's three separate implementations (TF1 wrapper
+optimizers in rigl/sparse_optimizers*.py, TF2 eager MaskUpdaters in
+rigl_tf2/mask_updaters.py, and the prune-only flax branch) with a single
+functional core that composes with any optax optimizer and runs as one
+compiled XLA program: the conditional mask update is a ``lax.cond`` whose
+branches have identical shapes (full-size top_k), so the whole train step —
+hot path and amortized update path — is a single TPU executable.
+
+Key TPU-native simplification: the trainer differentiates the loss w.r.t. the
+*effective* (masked) parameters, so a single backward pass yields dense
+gradients; masked gradients are an elementwise multiply away.  The reference
+needed two ``compute_gradients`` calls (sparse_optimizers_base.py:478-485).
+
+Replica determinism: mask updates use RNG keyed on (seed, step, layer index)
+via ``jax.random.fold_in``, the analogue of the reference's stateless ops
+keyed on (hash(name)+offset, global_step) (sparse_optimizers_base.py:402-418).
+Grow-score gradients are identical across data-parallel replicas because they
+come out of jit's automatic gradient reduction over the sharded batch —
+no explicit ``cross_replica_sum`` needed (reference: :471-476).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from rigl_tpu.sparsity import distributions
+from rigl_tpu.sparsity import masks as masks_lib
+from rigl_tpu.sparsity import update as update_lib
+from rigl_tpu.transforms import algorithms
+
+MaskDict = Dict[str, jnp.ndarray]
+PyTree = Any
+
+
+class SparseState(flax.struct.PyTreeNode):
+  """Dynamic sparse-training state carried through the train loop.
+
+  `step` follows the reference's global_step semantics: it advances only when
+  a gradient step is applied.  For RigL/SNIP, update iterations consume a
+  batch without advancing `step` (sparse_optimizers_base.py:487-521).
+  """
+  masks: MaskDict
+  step: jnp.ndarray
+  last_update_step: jnp.ndarray
+  is_snipped: jnp.ndarray
+  ema_grads: Optional[MaskDict] = None
+  initial_weights: Optional[MaskDict] = None
+
+
+class SparseTraining:
+  """Couples an optax optimizer with a sparse-training algorithm.
+
+  Usage:
+    st = SparseTraining(optax.sgd(lr, momentum=0.9), algorithms.RigL(...))
+    opt_state, sstate = st.init(key, params)
+    ...
+    eff = masks_lib.apply_masks(params, sstate.masks)
+    grads = jax.grad(lambda p: loss(p, batch))(eff)   # dense at masked leaves
+    params, opt_state, sstate, metrics = st.step(params, opt_state, sstate,
+                                                 grads)
+  """
+
+  def __init__(
+      self,
+      tx: optax.GradientTransformation,
+      algo: algorithms.Algorithm,
+      distribution: str = 'erdos_renyi_kernel',
+      default_sparsity: float = 0.8,
+      custom_sparsity_map: Optional[Mapping[str, float]] = None,
+      erk_power_scale: float = distributions.DEFAULT_ERK_SCALE,
+      mask_rule=masks_lib.default_mask_rule,
+      seed: int = 0,
+      mask_dtype=jnp.float32,
+  ):
+    self.tx = tx
+    self.algo = algo
+    self.distribution = distribution
+    self.default_sparsity = default_sparsity
+    self.custom_sparsity_map = dict(custom_sparsity_map or {})
+    self.erk_power_scale = erk_power_scale
+    self.mask_rule = mask_rule
+    self.seed = seed
+    self.mask_dtype = mask_dtype
+    # Per-layer sparsity targets, filled by init() (host-side dict of floats).
+    self.sparsities: Dict[str, float] = {}
+
+  # ------------------------------------------------------------------ init --
+  def init(self, key: jax.Array, params: PyTree
+           ) -> Tuple[optax.OptState, SparseState]:
+    """Builds the optimizer state and the initial mask set."""
+    algo = self.algo
+    shapes = masks_lib.mask_shapes(params, self.mask_rule)
+    if algo.name == 'none':
+      # Dense baseline: no masks at all.
+      self.sparsities = {}
+      mask_dict: MaskDict = {}
+    else:
+      self.sparsities = distributions.get_sparsities(
+          shapes, self.distribution, self.default_sparsity,
+          self.custom_sparsity_map, erk_power_scale=self.erk_power_scale)
+      if algo.name == 'snip':
+        # SNIP starts dense and prunes by saliency at step 0
+        # (sparse_optimizers_test contract: masks are initially all-ones).
+        mask_dict = {
+            p: jnp.ones(s, self.mask_dtype) for p, s in shapes.items()
+        }
+      elif algo.name == 'prune':
+        # Gradual pruning starts at initial_sparsity (usually 0).
+        mask_dict = {}
+        for i, (p, s) in enumerate(shapes.items()):
+          mask_dict[p] = masks_lib.random_mask(
+              jax.random.fold_in(key, i), s, algo.initial_sparsity,
+              self.mask_dtype)
+      else:
+        mask_dict = {}
+        for i, (p, s) in enumerate(shapes.items()):
+          mask_dict[p] = masks_lib.random_mask(
+              jax.random.fold_in(key, i), s, self.sparsities[p],
+              self.mask_dtype)
+
+    ema = None
+    if algo.needs_ema:
+      ema = {p: jnp.zeros(s, jnp.float32) for p, s in shapes.items()
+             if p in mask_dict}
+    initial_weights = None
+    if algo.grow_init.startswith('initial_dist'):
+      initial_weights = {
+          p: v for p, v in masks_lib.select_masked(params, mask_dict).items()
+      }
+
+    sstate = SparseState(
+        masks=mask_dict,
+        step=jnp.zeros((), jnp.int32),
+        last_update_step=jnp.full(
+            (), algo.schedule.initial_last_update_step
+            if algo.schedule else 0, jnp.int32),
+        is_snipped=jnp.zeros((), jnp.bool_),
+        ema_grads=ema,
+        initial_weights=initial_weights,
+    )
+    return self.tx.init(params), sstate
+
+  # ------------------------------------------------------------- internals --
+  def _layer_key(self, step: jnp.ndarray, layer_idx: int, tag: int
+                 ) -> jax.Array:
+    key = jax.random.fold_in(jax.random.key(self.seed), step)
+    return jax.random.fold_in(jax.random.fold_in(key, layer_idx), tag)
+
+  def _apply(self, grads: PyTree, params: PyTree, opt_state: optax.OptState
+             ) -> Tuple[PyTree, optax.OptState]:
+    updates, new_opt_state = self.tx.update(grads, opt_state, params)
+    return optax.apply_updates(params, updates), new_opt_state
+
+  def _grow_score(self, algo: algorithms.Algorithm, path: str, mask, weights,
+                  dense_grad, ema_grad, key) -> jnp.ndarray:
+    name = algo.name
+    if name == 'set':
+      return jax.random.uniform(key, mask.shape)
+    if name == 'rigl':
+      return jnp.abs(dense_grad)
+    if name == 'rigl_inverted':
+      return -jnp.abs(dense_grad)
+    if name == 'static':
+      return mask.astype(jnp.float32)
+    if name == 'momentum':
+      return jnp.abs(ema_grad)
+    raise ValueError(f'{name} has no drop/grow update')
+
+  def _drop_grow_all(self, params: PyTree, opt_state: optax.OptState,
+                     sstate: SparseState, dense_grads: PyTree,
+                     drop_fraction: jnp.ndarray,
+                     ema: Optional[MaskDict]) -> Tuple[PyTree, optax.OptState,
+                                                       MaskDict]:
+    """Runs the drop/grow kernel on every masked layer + resets slots."""
+    algo = self.algo
+    masks = sstate.masks
+    w_sel = masks_lib.select_masked(params, masks)
+    g_sel = masks_lib.select_masked(dense_grads, masks)
+    step = sstate.step
+
+    new_masks: MaskDict = {}
+    new_weights: MaskDict = {}
+    new_conn: MaskDict = {}
+    reset_vals: MaskDict = {}
+    for i, path in enumerate(masks):
+      mask, w, g = masks[path], w_sel[path], g_sel[path]
+      noise = (jax.random.normal(self._layer_key(step, i, 0), mask.shape)
+               * algo.noise_std)
+      score_drop = jnp.abs(mask.astype(w.dtype) * w) + noise
+      score_grow = self._grow_score(
+          algo, path, mask, w, g, None if ema is None else ema[path],
+          self._layer_key(step, i, 1))
+      grow_tensor = update_lib.grow_init_tensor(
+          algo.grow_init, self._layer_key(step, i, 2), w,
+          masked_grad=g,
+          initial_weights=(None if sstate.initial_weights is None
+                           else sstate.initial_weights[path]))
+      res = update_lib.drop_grow_update(
+          mask, w, score_drop, score_grow, drop_fraction,
+          grow_tensor=grow_tensor, reinit_when_same=algo.reinit_when_same)
+      new_masks[path] = res.mask
+      new_weights[path] = res.weights
+      new_conn[path] = res.new_connections
+      # Momentum of grown connections: zero, or scaled dense gradient
+      # (sparse_optimizers_base.py:555-564).
+      reset_vals[path] = g * algo.initial_acc_scale
+
+    new_params = masks_lib.update_masked(params, new_weights)
+    conn_tree = masks_lib.update_masked(
+        jax.tree.map(lambda w: jnp.zeros(np.shape(w), jnp.bool_), params),
+        new_conn)
+    reset_tree = masks_lib.update_masked(
+        jax.tree.map(jnp.zeros_like, params), reset_vals)
+    new_opt_state = optax.tree_map_params(
+        self.tx,
+        lambda slot, conn, val: jnp.where(conn, val.astype(slot.dtype), slot),
+        opt_state, conn_tree, reset_tree)
+    return new_params, new_opt_state, new_masks
+
+  def _remask_by_score(self, scores: MaskDict, old_masks: MaskDict
+                       ) -> MaskDict:
+    """Per-layer top-k remask at the configured sparsity targets."""
+    out: MaskDict = {}
+    for path, score in scores.items():
+      out[path] = update_lib.prune_to_sparsity(
+          score, self.sparsities[path], self.mask_dtype)
+    return out
+
+  # ------------------------------------------------------------------ step --
+  def step(self, params: PyTree, opt_state: optax.OptState,
+           sstate: SparseState, dense_grads: PyTree
+           ) -> Tuple[PyTree, optax.OptState, SparseState, Dict[str, Any]]:
+    """One training iteration: gradient application and/or mask update.
+
+    `dense_grads` must be the gradient of the loss w.r.t. the *effective*
+    (masked) parameters — dense at masked leaves.
+    """
+    algo = self.algo
+    masks = sstate.masks
+
+    if algo.dense_gradients:
+      train_grads = dense_grads
+    else:
+      train_grads = masks_lib.mask_grads(dense_grads, masks)
+
+    # SNFS: EMA of dense gradients advances every step, before apply
+    # (sparse_optimizers.py:195-197).
+    ema = sstate.ema_grads
+    if algo.needs_ema:
+      g_sel = masks_lib.select_masked(dense_grads, masks)
+      m = algo.momentum
+      ema = {p: m * ema[p] + (1.0 - m) * g_sel[p] for p in ema}
+
+    metrics: Dict[str, Any] = {}
+
+    if algo.name in ('none', 'scratch'):
+      new_params, new_opt_state = self._apply(train_grads, params, opt_state)
+      new_sstate = sstate.replace(step=sstate.step + 1)
+      metrics['mask_updated'] = jnp.zeros((), jnp.bool_)
+      return new_params, new_opt_state, new_sstate, metrics
+
+    if algo.name == 'snip':
+      do_snip = (sstate.step == 0) & (~sstate.is_snipped)
+
+      def snip_branch(params, opt_state):
+        w_sel = masks_lib.select_masked(params, masks)
+        g_sel = masks_lib.select_masked(dense_grads, masks)
+        saliency = {p: jnp.abs(g_sel[p] * w_sel[p]) for p in masks}
+        new_masks = self._remask_by_score(saliency, masks)
+        return (params, opt_state, new_masks, sstate.step,
+                jnp.ones((), jnp.bool_))
+
+      def apply_branch(params, opt_state):
+        new_params, new_opt_state = self._apply(train_grads, params, opt_state)
+        return (new_params, new_opt_state, masks, sstate.step + 1,
+                sstate.is_snipped)
+
+      new_params, new_opt_state, new_masks, new_step, snipped = jax.lax.cond(
+          do_snip, snip_branch, apply_branch, params, opt_state)
+      new_sstate = sstate.replace(masks=new_masks, step=new_step,
+                                  is_snipped=snipped)
+      metrics['mask_updated'] = do_snip
+      return new_params, new_opt_state, new_sstate, metrics
+
+    if algo.name == 'dnw':
+      # Dense gradient step, then re-mask by |w| every iteration
+      # (sparse_optimizers.py:408-471).
+      new_params, new_opt_state = self._apply(train_grads, params, opt_state)
+      w_sel = masks_lib.select_masked(new_params, masks)
+      new_masks = self._remask_by_score(
+          {p: jnp.abs(w) for p, w in w_sel.items()}, masks)
+      new_sstate = sstate.replace(masks=new_masks, step=sstate.step + 1)
+      metrics['mask_updated'] = jnp.ones((), jnp.bool_)
+      return new_params, new_opt_state, new_sstate, metrics
+
+    if algo.name == 'prune':
+      # Gradient step always; magnitude prune on the polynomial schedule.
+      sched = algo.schedule
+      new_params, new_opt_state = self._apply(train_grads, params, opt_state)
+      step_after = sstate.step + 1
+      is_update = sched.is_update_iter(step_after, sstate.last_update_step)
+      t = jnp.clip(
+          (step_after - sched.begin_step)
+          / jnp.maximum(sched.end_step - sched.begin_step, 1),
+          0.0, 1.0).astype(jnp.float32)
+
+      def prune_branch(args):
+        params_in, masks_in = args
+        w_sel = masks_lib.select_masked(params_in, masks_in)
+        out: MaskDict = {}
+        for path, w in w_sel.items():
+          final_s = self.sparsities[path]
+          s_t = final_s + (algo.initial_sparsity - final_s) * (
+              (1.0 - t) ** algo.power)
+          n_total = int(np.prod(w.shape))
+          n_keep = jnp.round((1.0 - s_t) * n_total).astype(jnp.int32)
+          out[path] = update_lib.topk_mask_from_scores(
+              jnp.abs(w), n_keep, self.mask_dtype).reshape(w.shape)
+        return out, step_after
+
+      def no_prune_branch(args):
+        _, masks_in = args
+        return masks_in, sstate.last_update_step
+
+      new_masks, new_last = jax.lax.cond(
+          is_update, prune_branch, no_prune_branch, (new_params, masks))
+      new_sstate = sstate.replace(masks=new_masks, step=step_after,
+                                  last_update_step=new_last)
+      metrics['mask_updated'] = is_update
+      return new_params, new_opt_state, new_sstate, metrics
+
+    # --- drop/grow family: SET / RigL / RigLInverted / Static / SNFS -------
+    sched = algo.schedule
+
+    if algo.skip_apply_on_update:
+      # RigL semantics: the mask update *replaces* the gradient step and the
+      # step counter does not advance (sparse_optimizers_base.py:487-521).
+      is_update = sched.is_update_iter(sstate.step, sstate.last_update_step)
+      drop_fraction = sched.get_drop_fraction(sstate.step)
+
+      def update_branch(params, opt_state):
+        p, os, m = self._drop_grow_all(params, opt_state, sstate, dense_grads,
+                                       drop_fraction, ema)
+        return p, os, m, sstate.step, sstate.step
+
+      def apply_branch(params, opt_state):
+        new_params, new_opt_state = self._apply(train_grads, params, opt_state)
+        return (new_params, new_opt_state, masks, sstate.step + 1,
+                sstate.last_update_step)
+
+      new_params, new_opt_state, new_masks, new_step, new_last = jax.lax.cond(
+          is_update, update_branch, apply_branch, params, opt_state)
+    else:
+      # SET-family semantics: gradient step always applies; the mask update
+      # additionally fires afterwards, gated on the *post-increment* step
+      # (sparse_optimizers_base.py:118-146).
+      new_params, new_opt_state = self._apply(train_grads, params, opt_state)
+      new_step = sstate.step + 1
+      is_update = sched.is_update_iter(new_step, sstate.last_update_step)
+      drop_fraction = sched.get_drop_fraction(new_step)
+
+      def update_branch(params, opt_state):
+        p, os, m = self._drop_grow_all(
+            params, opt_state, sstate.replace(step=new_step), dense_grads,
+            drop_fraction, ema)
+        return p, os, m, new_step
+
+      def no_update_branch(params, opt_state):
+        return params, opt_state, masks, sstate.last_update_step
+
+      new_params, new_opt_state, new_masks, new_last = jax.lax.cond(
+          is_update, update_branch, no_update_branch, new_params,
+          new_opt_state)
+
+    new_sstate = sstate.replace(masks=new_masks, step=new_step,
+                                last_update_step=new_last, ema_grads=ema)
+    metrics['mask_updated'] = is_update
+    metrics['drop_fraction'] = drop_fraction
+    return new_params, new_opt_state, new_sstate, metrics
