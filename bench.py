@@ -1,0 +1,99 @@
+"""Benchmark: ResNet-50 RigL @80% ERK training throughput vs dense, 1 chip.
+
+Prints one JSON line:
+  {"metric": ..., "value": imgs/sec/chip (sparse), "unit": "imgs/sec",
+   "vs_baseline": dense_step_time / sparse_step_time}
+
+vs_baseline > 1.0 means the sparse step is faster than the dense step; the
+north-star target is sparse step time <= 0.6x dense (vs_baseline >= 1.667).
+
+Runs on whatever jax.default_backend() provides (real TPU under the driver);
+scales batch/image size down automatically on CPU so it stays runnable
+anywhere.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _bench_step(step_fn, state, batch, warmup: int, iters: int):
+  import jax
+  for _ in range(warmup):
+    state, metrics = step_fn(state, batch)
+  jax.block_until_ready(state.params)
+  t0 = time.perf_counter()
+  for _ in range(iters):
+    state, metrics = step_fn(state, batch)
+  jax.block_until_ready(state.params)
+  return (time.perf_counter() - t0) / iters, state
+
+
+def main():
+  import jax
+  import jax.numpy as jnp
+  import optax
+  from rigl_tpu.models import registry
+  from rigl_tpu.sparsity.schedules import UpdateSchedule
+  from rigl_tpu.train import steps
+  from rigl_tpu.transforms import algorithms
+  from rigl_tpu.transforms.sparse_training import SparseTraining
+
+  backend = jax.default_backend()
+  on_tpu = backend not in ('cpu',)
+  batch = int(os.environ.get('BENCH_BATCH', 128 if on_tpu else 8))
+  image = int(os.environ.get('BENCH_IMAGE', 224 if on_tpu else 32))
+  iters = int(os.environ.get('BENCH_ITERS', 20 if on_tpu else 3))
+  warmup = int(os.environ.get('BENCH_WARMUP', 5 if on_tpu else 1))
+  depth = int(os.environ.get('BENCH_DEPTH', 50))
+
+  def make(method):
+    model = registry.create_model('resnet', depth=depth, num_classes=1000,
+                                  dtype=jnp.bfloat16)
+    algo = (algorithms.RigL(schedule=UpdateSchedule(
+        begin_step=0, end_step=-1, frequency=100, drop_fraction=0.3,
+        drop_fraction_anneal='cosine'))
+            if method == 'rigl' else algorithms.DENSE)
+    st = SparseTraining(optax.sgd(0.1, momentum=0.9, nesterov=True), algo,
+                        distribution='erdos_renyi_kernel',
+                        default_sparsity=0.8)
+    state = steps.init_train_state(jax.random.key(0), model, st,
+                                   (batch, image, image, 3))
+    fn = jax.jit(
+        steps.make_train_step(model, st, weight_decay=1e-4,
+                              label_smoothing=0.1),
+        donate_argnums=0)
+    return fn, state
+
+  rng = np.random.default_rng(0)
+  batch_data = {
+      'image': rng.normal(0, 1, (batch, image, image, 3)).astype(np.float32),
+      'label': rng.integers(0, 1000, (batch,)).astype(np.int32),
+  }
+  batch_data = jax.device_put(batch_data)
+
+  sparse_fn, sparse_state = make('rigl')
+  sparse_time, _ = _bench_step(sparse_fn, sparse_state, batch_data, warmup,
+                               iters)
+  dense_fn, dense_state = make('dense')
+  dense_time, _ = _bench_step(dense_fn, dense_state, batch_data, warmup,
+                              iters)
+
+  imgs_per_sec = batch / sparse_time
+  result = {
+      'metric': f'resnet{depth}_rigl_erk80_train_imgs_per_sec_per_chip',
+      'value': round(imgs_per_sec, 2),
+      'unit': 'imgs/sec',
+      'vs_baseline': round(dense_time / sparse_time, 4),
+  }
+  print(json.dumps(result))
+  print(f'# backend={backend} batch={batch} image={image} '
+        f'sparse_step={sparse_time * 1e3:.2f}ms '
+        f'dense_step={dense_time * 1e3:.2f}ms', file=sys.stderr)
+
+
+if __name__ == '__main__':
+  main()

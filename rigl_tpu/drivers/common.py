@@ -1,0 +1,90 @@
+"""Shared absl flags for the trainer drivers — mirrors the reference's flag
+surface (mnist_train_eval.py, resnet_train_eval.py, imagenet_train_eval.py)."""
+
+from __future__ import annotations
+
+import json
+
+from absl import flags
+
+from rigl_tpu.train.trainer import TrainConfig
+
+FLAGS = flags.FLAGS
+
+
+def define_common_flags(default_method='rigl', default_sparsity=0.9,
+                        default_steps=1000, default_batch=128,
+                        default_frequency=100):
+  flags.DEFINE_string('training_method', default_method,
+                      'rigl|set|static|momentum|snip|dnw|prune|scratch|none')
+  flags.DEFINE_float('end_sparsity', default_sparsity, 'target sparsity')
+  flags.DEFINE_string('mask_init_method', 'erdos_renyi_kernel',
+                      'random|erdos_renyi|erdos_renyi_kernel|str')
+  flags.DEFINE_float('erk_power_scale', 1.0, 'ERK softening exponent')
+  flags.DEFINE_integer('maskupdate_begin_step', 0, '')
+  flags.DEFINE_integer('maskupdate_end_step', -1, '')
+  flags.DEFINE_integer('maskupdate_frequency', default_frequency, '')
+  flags.DEFINE_float('drop_fraction', 0.3, '')
+  flags.DEFINE_string('drop_fraction_anneal', 'cosine',
+                      'constant|cosine|exponential_<p>')
+  flags.DEFINE_string('grow_init', 'zeros', '')
+  flags.DEFINE_float('initial_acc_scale', 0.0, '')
+  flags.DEFINE_integer('train_steps', default_steps, '')
+  flags.DEFINE_float('training_steps_multiplier', 1.0,
+                     'extended training (5x-100x runs)')
+  flags.DEFINE_integer('batch_size', default_batch, '')
+  flags.DEFINE_float('learning_rate', 0.1, '')
+  flags.DEFINE_float('momentum', 0.9, '')
+  flags.DEFINE_float('weight_decay', 0.0, '')
+  flags.DEFINE_float('label_smoothing', 0.0, '')
+  flags.DEFINE_integer('seed', 0, '')
+  flags.DEFINE_string('data_dir', None, 'raw dataset dir (synthetic if unset)')
+  flags.DEFINE_string('output_dir', None, 'checkpoints + metrics')
+  flags.DEFINE_integer('log_every', 100, '')
+  flags.DEFINE_integer('eval_every', 0, '')
+
+
+def config_from_flags(**overrides) -> TrainConfig:
+  cfg = TrainConfig(
+      training_method=FLAGS.training_method,
+      sparsity=FLAGS.end_sparsity,
+      mask_init_method=FLAGS.mask_init_method,
+      erk_power_scale=FLAGS.erk_power_scale,
+      maskupdate_begin_step=FLAGS.maskupdate_begin_step,
+      maskupdate_end_step=FLAGS.maskupdate_end_step,
+      maskupdate_frequency=FLAGS.maskupdate_frequency,
+      drop_fraction=FLAGS.drop_fraction,
+      drop_fraction_anneal=FLAGS.drop_fraction_anneal,
+      grow_init=FLAGS.grow_init,
+      initial_acc_scale=FLAGS.initial_acc_scale,
+      train_steps=FLAGS.train_steps,
+      training_steps_multiplier=FLAGS.training_steps_multiplier,
+      batch_size=FLAGS.batch_size,
+      base_learning_rate=FLAGS.learning_rate,
+      momentum=FLAGS.momentum,
+      weight_decay=FLAGS.weight_decay,
+      label_smoothing=FLAGS.label_smoothing,
+      seed=FLAGS.seed,
+      data_dir=FLAGS.data_dir,
+      checkpoint_dir=FLAGS.output_dir,
+      log_every=FLAGS.log_every,
+      eval_every=FLAGS.eval_every,
+  )
+  for k, v in overrides.items():
+    setattr(cfg, k, v)
+  return cfg
+
+
+def run_and_report(trainer, output_dir=None):
+  """Trains, prints metrics, dumps resolved config + results (the reference
+  dumps its operative gin config, rigl_tf2/train.py:495-499)."""
+  import os
+  result = trainer.train(progress_fn=lambda m: print(m))
+  print(json.dumps(result, indent=2))
+  if output_dir:
+    os.makedirs(output_dir, exist_ok=True)
+    with open(os.path.join(output_dir, 'config.json'), 'w') as f:
+      f.write(trainer.config.to_json())
+    with open(os.path.join(output_dir, 'results.json'), 'w') as f:
+      json.dump(result, f, indent=2)
+  return result

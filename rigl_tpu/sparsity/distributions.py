@@ -31,11 +31,18 @@ def get_n_ones(size: int, sparsity: float) -> int:
   return size - get_n_zeros(size, sparsity)
 
 
+def _validate_sparsity(sparsity: float, what: str = 'sparsity'):
+  if not 0.0 <= sparsity <= 1.0:
+    raise ValueError(f'{what} must be in [0, 1], got {sparsity}')
+
+
 def _validate_custom_map(shapes: ShapeDict, custom_sparsity_map: Mapping[str, float]):
   missing = set(custom_sparsity_map) - set(shapes)
   if missing:
     raise ValueError(
         'No masks are found for the following names: %s' % sorted(missing))
+  for name, s in custom_sparsity_map.items():
+    _validate_sparsity(s, f'custom sparsity for {name!r}')
 
 
 def sparsities_uniform(
@@ -47,6 +54,7 @@ def sparsities_uniform(
 
   Mirrors sparse_utils.py:210-235.
   """
+  _validate_sparsity(default_sparsity, 'default_sparsity')
   custom_sparsity_map = custom_sparsity_map or {}
   _validate_custom_map(shapes, custom_sparsity_map)
   return {
@@ -86,6 +94,7 @@ def sparsities_erdos_renyi(
   Returns:
     dict name -> sparsity.
   """
+  _validate_sparsity(default_sparsity, 'default_sparsity')
   custom_sparsity_map = custom_sparsity_map or {}
   _validate_custom_map(shapes, custom_sparsity_map)
 

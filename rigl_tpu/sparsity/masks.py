@@ -115,10 +115,19 @@ def make_mask_dict(
   sparsities = distributions.get_sparsities(
       shapes, method, default_sparsity, custom_sparsity_map,
       erk_power_scale=erk_power_scale)
+  # Host-side shuffles: deterministic in (key, layer index), identical on
+  # every replica, and avoids compiling one permutation program per layer
+  # shape (mask init happens exactly once).
+  key_ints = np.asarray(jax.random.key_data(key)).flatten().tolist()
   masks: MaskDict = {}
   for i, (path, shape) in enumerate(shapes.items()):
-    masks[path] = random_mask(
-        jax.random.fold_in(key, i), shape, sparsities[path], dtype)
+    rs = np.random.default_rng(np.random.SeedSequence(key_ints + [i]))
+    size = int(np.prod(shape))
+    n_zeros = distributions.get_n_zeros(size, sparsities[path])
+    flat = np.ones(size, np.float32)
+    flat[:n_zeros] = 0.0
+    rs.shuffle(flat)
+    masks[path] = jnp.asarray(flat.reshape(shape), dtype)
   return masks
 
 

@@ -1,0 +1,24 @@
+"""Training: jitted steps, LR schedules, trainer, checkpointing."""
+
+from rigl_tpu.train.lr_schedules import (
+    cifar_lr_schedule,
+    constant_lr,
+    imagenet_lr_schedule,
+    mnist_lr_schedule,
+    sgdr_schedule,
+)
+from rigl_tpu.train.steps import (
+    cross_entropy_loss,
+    init_train_state,
+    l2_regularization,
+    make_eval_step,
+    make_train_step,
+)
+from rigl_tpu.train.train_state import TrainState
+from rigl_tpu.train.trainer import (
+    TrainConfig,
+    Trainer,
+    build_algorithm,
+    build_optimizer,
+    simulate_step_sequence,
+)

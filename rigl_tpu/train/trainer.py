@@ -1,0 +1,333 @@
+"""The Trainer: config -> model + data + sparse optimizer -> jitted loop.
+
+Mirrors the reference trainers' responsibilities (mnist_train_eval.py,
+resnet_train_eval.py, imagenet_train_eval.py) in one config-driven class:
+optimizer selection per training_method, mask init / schedule wiring, LR
+schedules, periodic eval with top-1/top-5, metrics, and checkpointing.
+
+Distribution: jit over a ('data','model') Mesh with the batch sharded on
+'data' — XLA inserts all collectives (see rigl_tpu/parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Callable, Dict, List, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from rigl_tpu.data import datasets as datasets_lib
+from rigl_tpu.data import pipeline
+from rigl_tpu.models import registry
+from rigl_tpu.parallel import mesh as mesh_lib
+from rigl_tpu.sparsity import masks as masks_lib
+from rigl_tpu.sparsity.schedules import UpdateSchedule
+from rigl_tpu.train import lr_schedules, steps
+from rigl_tpu.train.train_state import TrainState
+from rigl_tpu.transforms import algorithms
+from rigl_tpu.transforms.sparse_training import SparseTraining
+
+
+@dataclasses.dataclass
+class TrainConfig:
+  """Resolved training configuration (the reference's ~80 absl flags
+  collapsed into one dataclass; dump with `to_json`)."""
+  # model / data
+  model: str = 'mnist_mlp'
+  model_kwargs: Dict[str, Any] = dataclasses.field(default_factory=dict)
+  dataset: str = 'mnist'
+  data_dir: Optional[str] = None
+  batch_size: int = 128
+  eval_batch_size: int = 0
+
+  # optimization
+  optimizer: str = 'momentum'        # momentum | adam | sgd
+  base_learning_rate: float = 0.1
+  lr_schedule: str = 'constant'      # constant|imagenet|cifar|mnist|sgdr
+  momentum: float = 0.9
+  use_nesterov: bool = True
+  weight_decay: float = 0.0
+  label_smoothing: float = 0.0
+  train_steps: int = 1000
+  training_steps_multiplier: float = 1.0
+
+  # sparse training
+  training_method: str = 'rigl'      # rigl|set|static|momentum|snip|dnw|
+                                     # prune|scratch|none|rigl_inverted
+  sparsity: float = 0.8
+  mask_init_method: str = 'erdos_renyi_kernel'
+  erk_power_scale: float = 1.0
+  custom_sparsity_map: Dict[str, float] = dataclasses.field(
+      default_factory=dict)
+  maskupdate_begin_step: int = 0
+  maskupdate_end_step: int = -1
+  maskupdate_frequency: int = 100
+  drop_fraction: float = 0.3
+  drop_fraction_anneal: str = 'cosine'
+  grow_init: str = 'zeros'
+  initial_acc_scale: float = 0.0
+  prune_initial_sparsity: float = 0.0
+
+  # bookkeeping
+  seed: int = 0
+  log_every: int = 100
+  eval_every: int = 0               # 0 = only at end
+  checkpoint_dir: Optional[str] = None
+  checkpoint_every: int = 0
+  n_synthetic: int = 4096
+
+  # parallelism
+  n_model_shards: int = 1
+
+  def resolved(self) -> 'TrainConfig':
+    """Applies training_steps_multiplier (imagenet_train_eval.py:290-297)."""
+    if self.training_steps_multiplier == 1.0:
+      return self
+    m = self.training_steps_multiplier
+    return dataclasses.replace(
+        self,
+        train_steps=int(self.train_steps * m),
+        maskupdate_begin_step=int(self.maskupdate_begin_step * m),
+        maskupdate_end_step=(int(self.maskupdate_end_step * m)
+                             if self.maskupdate_end_step > 0
+                             else self.maskupdate_end_step),
+    )
+
+  def to_json(self) -> str:
+    return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+
+def build_lr_fn(config: TrainConfig, steps_per_epoch: float):
+  name = config.lr_schedule
+  if name == 'constant':
+    return lr_schedules.constant_lr(config.base_learning_rate)
+  if name == 'mnist':
+    return lr_schedules.mnist_lr_schedule(config.base_learning_rate)
+  if name == 'cifar':
+    return lr_schedules.cifar_lr_schedule(config.training_steps_multiplier)
+  if name == 'imagenet':
+    arch = ('mobilenet' if config.model.startswith('mobilenet') else
+            'vgg' if config.model.startswith('vgg') else 'resnet')
+    return lr_schedules.imagenet_lr_schedule(
+        config.base_learning_rate, config.batch_size, steps_per_epoch,
+        lr_schedules.LR_SCHEDULES[arch], config.training_steps_multiplier)
+  if name == 'sgdr':
+    return lr_schedules.sgdr_schedule(
+        config.base_learning_rate, config.batch_size, steps_per_epoch,
+        decay_epochs=10.0)
+  raise ValueError(f'Unknown lr schedule {name!r}')
+
+
+def build_optimizer(config: TrainConfig, lr_fn) -> optax.GradientTransformation:
+  """Inner optimizer selection (imagenet_train_eval.py:333-365)."""
+  if config.optimizer == 'momentum':
+    return optax.sgd(lr_fn, momentum=config.momentum,
+                     nesterov=config.use_nesterov)
+  if config.optimizer == 'sgd':
+    return optax.sgd(lr_fn)
+  if config.optimizer == 'adam':
+    return optax.adam(lr_fn)
+  raise ValueError(f'Unknown optimizer {config.optimizer!r}')
+
+
+def build_algorithm(config: TrainConfig) -> algorithms.Algorithm:
+  sched = UpdateSchedule(
+      begin_step=config.maskupdate_begin_step,
+      end_step=config.maskupdate_end_step,
+      frequency=config.maskupdate_frequency,
+      drop_fraction=config.drop_fraction,
+      drop_fraction_anneal=config.drop_fraction_anneal,
+  )
+  name = config.training_method
+  kwargs: Dict[str, Any] = {}
+  if name in ('set', 'rigl', 'rigl_inverted', 'static', 'momentum', 'snfs'):
+    kwargs = dict(schedule=sched, grow_init=config.grow_init)
+    if name in ('rigl', 'rigl_inverted'):
+      kwargs['initial_acc_scale'] = config.initial_acc_scale
+    return algorithms.get_algorithm(name, **kwargs)
+  if name == 'prune':
+    return algorithms.GradualPruning(
+        schedule=sched, initial_sparsity=config.prune_initial_sparsity)
+  return algorithms.get_algorithm(name)
+
+
+def simulate_step_sequence(algo: algorithms.Algorithm, total_steps: int
+                           ) -> int:
+  """Number of batches needed to reach `total_steps` optimizer steps.
+
+  RigL/SNIP consume a batch without advancing the step counter on update
+  iterations (the reference's skipped apply_gradients); the schedule is
+  fully deterministic, so we precompute the batch count host-side and keep
+  the device loop sync-free.
+  """
+  if not (algo.skip_apply_on_update and algo.schedule is not None):
+    extra = 1 if algo.name == 'snip' else 0
+    return total_steps + extra
+  sched = algo.schedule
+  step, last, batches = 0, sched.initial_last_update_step, 0
+  while step < total_steps:
+    batches += 1
+    if bool(sched.is_update_iter(step, last)):
+      last = step
+    else:
+      step += 1
+  return batches
+
+
+class Trainer:
+  """End-to-end sparse training driver."""
+
+  def __init__(self, config: TrainConfig):
+    self.config = config.resolved()
+    cfg = self.config
+
+    self.train_ds, self.eval_ds, self.data_info = datasets_lib.create_dataset(
+        cfg.dataset, cfg.batch_size, cfg.eval_batch_size,
+        data_dir=cfg.data_dir, seed=cfg.seed, n_synthetic=cfg.n_synthetic)
+    steps_per_epoch = max(self.data_info['num_train'] / cfg.batch_size, 1.0)
+
+    model_kwargs = dict(cfg.model_kwargs)
+    model_kwargs.setdefault('num_classes', self.data_info['num_classes'])
+    self.model = registry.create_model(cfg.model, **model_kwargs)
+
+    self.lr_fn = build_lr_fn(cfg, steps_per_epoch)
+    tx = build_optimizer(cfg, self.lr_fn)
+    self.algo = build_algorithm(cfg)
+
+    custom_map = dict(cfg.custom_sparsity_map)
+    # Depthwise kernels (MobileNet) never carry masks — reference convention.
+    dense_paths = []
+    if hasattr(self.model, 'dense_layer_paths'):
+      dense_paths = list(self.model.dense_layer_paths())
+
+    def mask_rule(path, leaf):
+      if path in dense_paths:
+        return False
+      return masks_lib.default_mask_rule(path, leaf)
+
+    self.sparse_training = SparseTraining(
+        tx, self.algo,
+        distribution=cfg.mask_init_method,
+        default_sparsity=cfg.sparsity,
+        custom_sparsity_map=custom_map,
+        erk_power_scale=cfg.erk_power_scale,
+        mask_rule=mask_rule,
+        seed=cfg.seed)
+
+    has_dropout = cfg.model.startswith('vgg') or (
+        cfg.model == 'wide_resnet'
+        and cfg.model_kwargs.get('droprate', 0) > 0)
+    self._train_step = steps.make_train_step(
+        self.model, self.sparse_training,
+        weight_decay=cfg.weight_decay,
+        label_smoothing=cfg.label_smoothing,
+        has_batch_stats=True,
+        has_dropout=has_dropout)
+    self._eval_step = steps.make_eval_step(self.model, has_batch_stats=True)
+
+    self.mesh = None
+    if jax.device_count() > 1 or cfg.n_model_shards > 1:
+      self.mesh = mesh_lib.make_mesh(n_model=cfg.n_model_shards)
+
+    self.state: Optional[TrainState] = None
+    self.metrics_history: List[Dict[str, float]] = []
+
+  # ------------------------------------------------------------------------
+  def init_state(self) -> TrainState:
+    cfg = self.config
+    input_shape = (cfg.batch_size,) + self.data_info['shape']
+    state = steps.init_train_state(
+        jax.random.key(cfg.seed), self.model, self.sparse_training,
+        input_shape)
+    if self.mesh is not None:
+      state = jax.device_put(state, mesh_lib.replicated(self.mesh))
+    self.state = state
+    return state
+
+  def jitted_train_step(self):
+    if self.mesh is None:
+      return jax.jit(self._train_step, donate_argnums=0)
+    repl = mesh_lib.replicated(self.mesh)
+    return jax.jit(
+        self._train_step,
+        donate_argnums=0,
+        in_shardings=(repl, mesh_lib.batch_sharding(self.mesh)),
+        out_shardings=(repl, repl))
+
+  # ------------------------------------------------------------------------
+  def train(self, total_steps: Optional[int] = None,
+            progress_fn: Optional[Callable[[Dict[str, Any]], None]] = None
+            ) -> Dict[str, Any]:
+    cfg = self.config
+    total_steps = total_steps or cfg.train_steps
+    if self.state is None:
+      self.init_state()
+    state = self.state
+    train_step = self.jitted_train_step()
+
+    n_batches = simulate_step_sequence(self.algo, total_steps)
+    sharding = (mesh_lib.batch_sharding(self.mesh)
+                if self.mesh is not None else None)
+    it = pipeline.prefetch_to_device(self.train_ds.repeat(), size=2,
+                                     sharding=sharding)
+
+    t0 = time.time()
+    last_log_t, last_log_i = t0, 0
+    for i in range(n_batches):
+      batch = next(it)
+      state, metrics = train_step(state, batch)
+      if cfg.log_every and (i + 1) % cfg.log_every == 0:
+        m = {k: float(v) for k, v in metrics.items()}
+        now = time.time()
+        m['steps_per_sec'] = (i + 1 - last_log_i) / max(now - last_log_t,
+                                                        1e-9)
+        last_log_t, last_log_i = now, i + 1
+        m['global_sparsity'] = (
+            float(masks_lib.calculate_sparsity(state.sparse.masks))
+            if state.sparse.masks else 0.0)
+        self.metrics_history.append(m)
+        if progress_fn:
+          progress_fn(m)
+      if (cfg.eval_every and (i + 1) % cfg.eval_every == 0):
+        em = self.evaluate(state)
+        em['step'] = float(i + 1)
+        self.metrics_history.append({'eval_' + k: v for k, v in em.items()})
+        if progress_fn:
+          progress_fn({'eval': em})
+
+    self.state = state
+    wall = time.time() - t0
+    final_eval = self.evaluate(state)
+    result = {
+        'train_steps': total_steps,
+        'batches': n_batches,
+        'wall_time_s': wall,
+        'steps_per_sec': n_batches / max(wall, 1e-9),
+        'final_loss': float(self.metrics_history[-1]['loss'])
+        if self.metrics_history else None,
+        **{f'eval_{k}': v for k, v in final_eval.items()},
+    }
+    if state.sparse.masks:
+      result['global_sparsity'] = float(
+          masks_lib.calculate_sparsity(state.sparse.masks))
+    return result
+
+  # ------------------------------------------------------------------------
+  def evaluate(self, state: Optional[TrainState] = None) -> Dict[str, float]:
+    state = state if state is not None else self.state
+    eval_step = jax.jit(self._eval_step)
+    totals: Dict[str, float] = {}
+    count = 0.0
+    for batch in self.eval_ds.epoch():
+      m = eval_step(state, jax.device_put(batch))
+      bs = float(m['count'])
+      for k in ('loss', 'top_1', 'top_5'):
+        totals[k] = totals.get(k, 0.0) + float(m[k]) * bs
+      count += bs
+    return {k: v / max(count, 1.0) for k, v in totals.items()}

@@ -1,0 +1,110 @@
+"""End-to-end trainer tests — the reference's per-method 1-step smoke
+contract (imagenet_resnet/train_test.py:49-89, cifar data_helper_test.py:78)
+plus a learnability check on the synthetic task."""
+
+import jax
+import numpy as np
+import pytest
+
+from rigl_tpu.train.trainer import TrainConfig, Trainer, simulate_step_sequence
+from rigl_tpu.transforms import algorithms
+from rigl_tpu.sparsity.schedules import UpdateSchedule
+
+
+def _cfg(**kw):
+  base = dict(
+      model='mnist_mlp',
+      dataset='mnist',
+      batch_size=32,
+      train_steps=8,
+      log_every=4,
+      maskupdate_frequency=2,
+      maskupdate_begin_step=0,
+      maskupdate_end_step=-1,
+      drop_fraction=0.3,
+      drop_fraction_anneal='constant',
+      base_learning_rate=0.1,
+      lr_schedule='constant',
+      n_synthetic=256,
+      seed=0,
+  )
+  base.update(kw)
+  return TrainConfig(**base)
+
+
+@pytest.mark.parametrize('method', ['rigl', 'set', 'static', 'momentum',
+                                    'snip', 'dnw', 'prune', 'scratch',
+                                    'none'])
+def test_all_methods_train_smoke(method):
+  """Every training method wires up and takes a few steps."""
+  t = Trainer(_cfg(training_method=method, sparsity=0.5))
+  result = t.train(total_steps=4)
+  assert np.isfinite(result['eval_loss'])
+  if method in ('none',):
+    assert 'global_sparsity' not in result or result['global_sparsity'] == 0
+  elif method in ('snip', 'dnw', 'scratch', 'rigl', 'set', 'static',
+                  'momentum'):
+    assert result['global_sparsity'] == pytest.approx(0.5, abs=0.05)
+
+
+def test_simulate_step_sequence_rigl():
+  algo = algorithms.RigL(schedule=UpdateSchedule(
+      begin_step=2, end_step=-1, frequency=3, drop_fraction=0.3))
+  # steps 0..5: updates at 2, 5 -> 8 batches for 6 steps.
+  assert simulate_step_sequence(algo, 6) == 8
+  set_algo = algorithms.SET(schedule=UpdateSchedule(frequency=2))
+  assert simulate_step_sequence(set_algo, 6) == 6
+  snip = algorithms.SNIP()
+  assert simulate_step_sequence(snip, 6) == 7
+
+
+def test_trainer_reaches_exact_step_count():
+  t = Trainer(_cfg(training_method='rigl', train_steps=7,
+                   maskupdate_frequency=3))
+  result = t.train()
+  assert int(t.state.sparse.step) == 7
+  assert result['batches'] == simulate_step_sequence(t.algo, 7)
+
+
+def test_synthetic_task_learns_sparse():
+  """90%-sparse MLP on the synthetic task: accuracy must clearly beat chance
+  after a short training run (end-to-end learning signal)."""
+  t = Trainer(_cfg(training_method='rigl', sparsity=0.9,
+                   train_steps=150, maskupdate_frequency=25,
+                   batch_size=64, n_synthetic=512,
+                   base_learning_rate=0.2))
+  result = t.train()
+  assert result['eval_top_1'] > 0.5  # 10 classes, chance = 0.1
+  assert result['global_sparsity'] == pytest.approx(0.9, abs=0.02)
+
+
+def test_mask_sparsity_constant_through_training():
+  t = Trainer(_cfg(training_method='set', sparsity=0.7, train_steps=10,
+                   maskupdate_frequency=2))
+  t.train()
+  from rigl_tpu.sparsity import masks as masks_lib
+  assert float(masks_lib.calculate_sparsity(t.state.sparse.masks)) == (
+      pytest.approx(0.7, abs=0.02))
+
+
+def test_custom_sparsity_map_mnist_convention():
+  """The MNIST trainer convention: layer2 at end_sparsity*scale, output
+  layer dense (mnist_train_eval.py:269-272)."""
+  from rigl_tpu.models.mlp import MnistMLP
+  model = MnistMLP()
+  cmap = model.custom_sparsity_map(0.98, 0.9)
+  t = Trainer(_cfg(training_method='set', sparsity=0.98,
+                   custom_sparsity_map=cmap, train_steps=2,
+                   mask_init_method='random'))
+  t.init_state()
+  masks = t.state.sparse.masks
+  assert float(np.mean(np.asarray(masks['layer3/kernel']))) == 1.0  # dense
+  s2 = 1.0 - float(np.mean(np.asarray(masks['layer2/kernel'])))
+  assert s2 == pytest.approx(0.98 * 0.9, abs=0.01)
+
+
+def test_eval_top5_geq_top1():
+  t = Trainer(_cfg(training_method='set', train_steps=2))
+  t.init_state()
+  m = t.evaluate()
+  assert m['top_5'] >= m['top_1']
