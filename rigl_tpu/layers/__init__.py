@@ -1,0 +1,8 @@
+"""Flax layers with explicit mask collections."""
+
+from rigl_tpu.layers.masked import (
+    MaskedConv,
+    MaskedDense,
+    dict_to_masks,
+    masks_to_dict,
+)
