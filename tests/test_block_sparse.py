@@ -1,0 +1,108 @@
+"""Tests for block masks and the Pallas block-sparse matmul (interpret mode
+on CPU; numerics vs the dense-times-mask reference, fwd + both grads)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rigl_tpu.ops import block_mask as bm_lib
+from rigl_tpu.ops.pallas import block_sparse
+
+
+def test_pool_and_expand_roundtrip():
+  m = jnp.asarray(np.random.RandomState(0).rand(64, 256) > 0.5,
+                  jnp.float32)
+  pooled = bm_lib.pool_to_blocks(m, (16, 64), 'max')
+  assert pooled.shape == (4, 4)
+  exp = bm_lib.expand_from_blocks(pooled, (64, 256), (16, 64))
+  assert exp.shape == (64, 256)
+  # Expansion of max-pooled covers the original mask.
+  assert np.all(np.asarray(exp) >= np.asarray(m))
+
+
+def test_pool_conv_kernel_2d_view():
+  m = jnp.ones((3, 3, 16, 32))
+  pooled = bm_lib.pool_to_blocks(m, (16, 8))
+  assert pooled.shape == (9, 4)  # (3*3*16/16, 32/8)
+
+
+def test_pool_indivisible_raises():
+  with pytest.raises(ValueError, match='does not divide'):
+    bm_lib.pool_to_blocks(jnp.ones((10, 10)), (3, 5))
+
+
+def test_random_block_mask_sparsity():
+  m = bm_lib.random_block_mask(jax.random.key(0), (64, 64), 0.75, (8, 8))
+  assert float(jnp.mean(m)) == pytest.approx(0.25, abs=0.01)
+  # Block structure: each 8x8 block constant.
+  blocks = bm_lib.pool_to_blocks(m, (8, 8), 'mean')
+  assert set(np.unique(np.asarray(blocks))) <= {0.0, 1.0}
+
+
+def test_blockwise_drop_grow_preserves_block_structure():
+  key = jax.random.key(0)
+  mask = bm_lib.random_block_mask(key, (32, 32), 0.5, (8, 8))
+  weights = jax.random.normal(jax.random.key(1), (32, 32))
+  score_drop = jnp.abs(mask * weights)
+  score_grow = jax.random.uniform(jax.random.key(2), (32, 32))
+  res = bm_lib.blockwise_drop_grow(mask, weights, score_drop, score_grow,
+                                   0.5, (8, 8))
+  # Still block-structured, same block count.
+  blocks = bm_lib.pool_to_blocks(res.mask, (8, 8), 'mean')
+  assert set(np.unique(np.asarray(blocks))) <= {0.0, 1.0}
+  assert float(jnp.sum(res.mask)) == float(jnp.sum(mask))
+  # Grown blocks zero-initialized.
+  assert np.all(np.asarray(res.weights)[np.asarray(res.new_connections)] == 0)
+
+
+@pytest.mark.parametrize('m,k,n,block,bm_tile', [
+    (32, 64, 128, (16, 64), 16),
+    (48, 128, 128, (32, 32), 16),   # M not divisible by bm -> padding
+])
+def test_block_sparse_matmul_forward(m, k, n, block, bm_tile):
+  rs = np.random.RandomState(0)
+  x = jnp.asarray(rs.randn(m, k), jnp.float32)
+  w = jnp.asarray(rs.randn(k, n), jnp.float32)
+  bmask = jnp.asarray(rs.rand(k // block[0], n // block[1]) > 0.5,
+                      jnp.int32)
+  y = block_sparse.block_sparse_matmul(x, w, bmask, block, bm_tile)
+  y_ref = block_sparse.dense_reference(x, w, bmask, block)
+  np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-5,
+                             atol=1e-4)
+
+
+def test_block_sparse_matmul_gradients():
+  rs = np.random.RandomState(1)
+  m, k, n, block = 32, 64, 64, (16, 32)
+  x = jnp.asarray(rs.randn(m, k), jnp.float32)
+  w = jnp.asarray(rs.randn(k, n), jnp.float32)
+  bmask = jnp.asarray(rs.rand(k // block[0], n // block[1]) > 0.4, jnp.int32)
+
+  def f_sparse(x, w):
+    return jnp.sum(
+        block_sparse.block_sparse_matmul(x, w, bmask, block, 16) ** 2)
+
+  def f_ref(x, w):
+    return jnp.sum(block_sparse.dense_reference(x, w, bmask, block) ** 2)
+
+  gx, gw = jax.grad(f_sparse, argnums=(0, 1))(x, w)
+  gx_ref, gw_ref = jax.grad(f_ref, argnums=(0, 1))(x, w)
+  np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), rtol=1e-4,
+                             atol=1e-3)
+  # dw: the pallas kernel only produces gradients at ACTIVE blocks (inactive
+  # blocks' dense grads are handled by the trainer's dense path at update
+  # steps); masked positions of the reference grad are masked too.
+  from rigl_tpu.ops.block_mask import expand_from_blocks
+  mask_el = expand_from_blocks(bmask.astype(jnp.float32), w.shape, block)
+  np.testing.assert_allclose(np.asarray(gw),
+                             np.asarray(gw_ref * mask_el), rtol=1e-4,
+                             atol=1e-3)
+
+
+def test_block_sparse_all_blocks_off():
+  x = jnp.ones((16, 32), jnp.float32)
+  w = jnp.ones((32, 64), jnp.float32)
+  bmask = jnp.zeros((2, 2), jnp.int32)
+  y = block_sparse.block_sparse_matmul(x, w, bmask, (16, 32), 16)
+  assert float(jnp.sum(jnp.abs(y))) == 0.0
