@@ -1,0 +1,5 @@
+"""Sparse RL workload: pure-JAX envs, device-resident replay, sparse DQN."""
+
+from rigl_tpu.rl.dqn import DQNConfig, SparseDQN
+from rigl_tpu.rl.envs import CartPole
+from rigl_tpu.rl.networks import ImpalaNet, MLPQNetwork, NatureDQN
