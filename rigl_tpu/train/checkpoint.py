@@ -33,6 +33,8 @@ class CheckpointManager:
                                              create=True))
 
   def save(self, step: int, state: TrainState, force: bool = False) -> bool:
+    if step in (self._mgr.all_steps() or []):
+      return False
     saved = self._mgr.save(step, args=ocp.args.StandardSave(state),
                            force=force)
     self._mgr.wait_until_finished()

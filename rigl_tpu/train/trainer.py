@@ -277,6 +277,13 @@ class Trainer:
     it = pipeline.prefetch_to_device(self.train_ds.repeat(), size=2,
                                      sharding=sharding)
 
+    writer = ckpt_mgr = None
+    if cfg.checkpoint_dir:
+      from rigl_tpu.train.checkpoint import CheckpointManager
+      from rigl_tpu.utils.metrics import MetricsWriter
+      writer = MetricsWriter(cfg.checkpoint_dir)
+      ckpt_mgr = CheckpointManager(cfg.checkpoint_dir)
+
     t0 = time.time()
     last_log_t, last_log_i = t0, 0
     for i in range(n_batches):
@@ -287,21 +294,35 @@ class Trainer:
         now = time.time()
         m['steps_per_sec'] = (i + 1 - last_log_i) / max(now - last_log_t,
                                                         1e-9)
+        m['learning_rate'] = float(self.lr_fn(state.sparse.step))
         last_log_t, last_log_i = now, i + 1
         m['global_sparsity'] = (
             float(masks_lib.calculate_sparsity(state.sparse.masks))
             if state.sparse.masks else 0.0)
         self.metrics_history.append(m)
+        if writer:
+          writer.write(int(m['step']), m)
         if progress_fn:
           progress_fn(m)
       if (cfg.eval_every and (i + 1) % cfg.eval_every == 0):
         em = self.evaluate(state)
         em['step'] = float(i + 1)
         self.metrics_history.append({'eval_' + k: v for k, v in em.items()})
+        if writer:
+          writer.write(int(em['step']), {'eval_' + k: v
+                                         for k, v in em.items()})
         if progress_fn:
           progress_fn({'eval': em})
+      if (ckpt_mgr and cfg.checkpoint_every
+          and (i + 1) % cfg.checkpoint_every == 0):
+        ckpt_mgr.save(int(state.sparse.step), state)
 
     self.state = state
+    if ckpt_mgr:
+      ckpt_mgr.save(int(state.sparse.step), state, force=True)
+      ckpt_mgr.close()
+    if writer:
+      writer.close()
     wall = time.time() - t0
     final_eval = self.evaluate(state)
     result = {

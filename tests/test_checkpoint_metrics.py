@@ -1,0 +1,115 @@
+"""Checkpoint save/restore (incl. mask/param surgery) and metrics writing —
+parity with imagenet_resnet/utils.py:93-125 and rigl_tf2/train.py:304-313."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rigl_tpu.train.checkpoint import (
+    CheckpointManager,
+    restore_masks_only,
+    restore_params_only,
+    shuffle_masks,
+)
+from rigl_tpu.train.trainer import TrainConfig, Trainer
+from rigl_tpu.utils.metrics import (
+    MetricsWriter,
+    distance_to_init,
+    norm_summaries,
+    read_metrics,
+    sparsity_summaries,
+)
+
+
+def _small_trainer(tmp_path, **kw):
+  base = dict(model='mnist_mlp', dataset='mnist', batch_size=16,
+              train_steps=4, log_every=2, maskupdate_frequency=2,
+              training_method='set', sparsity=0.5, n_synthetic=64,
+              checkpoint_dir=str(tmp_path / 'ckpt'), checkpoint_every=2)
+  base.update(kw)
+  return Trainer(TrainConfig(**base))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+  t = _small_trainer(tmp_path)
+  t.train()
+  state = t.state
+  mgr = CheckpointManager(str(tmp_path / 'ckpt'))
+  assert mgr.latest_step() == 4
+  # Restore into a freshly initialized state.
+  t2 = _small_trainer(tmp_path)
+  fresh = t2.init_state()
+  restored = mgr.restore(fresh)
+  np.testing.assert_array_equal(
+      np.asarray(restored.sparse.masks['layer1/kernel']),
+      np.asarray(state.sparse.masks['layer1/kernel']))
+  np.testing.assert_allclose(
+      np.asarray(restored.params['params']['layer1']['kernel']),
+      np.asarray(state.params['params']['layer1']['kernel']))
+  assert int(restored.sparse.step) == 4
+  mgr.close()
+
+
+def test_mask_and_param_surgery(tmp_path):
+  t = _small_trainer(tmp_path, checkpoint_dir=None, checkpoint_every=0)
+  t.train()
+  trained = t.state
+  t2 = _small_trainer(tmp_path, checkpoint_dir=None, checkpoint_every=0,
+                      seed=1)
+  fresh = t2.init_state()
+
+  masks_only = restore_masks_only(fresh, trained)
+  np.testing.assert_array_equal(
+      np.asarray(masks_only.sparse.masks['layer1/kernel']),
+      np.asarray(trained.sparse.masks['layer1/kernel']))
+  assert np.array_equal(
+      np.asarray(masks_only.params['params']['layer1']['kernel']),
+      np.asarray(fresh.params['params']['layer1']['kernel']))
+
+  params_only = restore_params_only(fresh, trained)
+  assert np.array_equal(
+      np.asarray(params_only.params['params']['layer1']['kernel']),
+      np.asarray(trained.params['params']['layer1']['kernel']))
+  assert np.array_equal(
+      np.asarray(params_only.sparse.masks['layer1/kernel']),
+      np.asarray(fresh.sparse.masks['layer1/kernel']))
+
+
+def test_shuffle_masks_preserves_sparsity():
+  masks = {'a': jnp.asarray(np.eye(8, dtype=np.float32))}
+  shuffled = shuffle_masks(jax.random.key(0), masks)
+  assert float(shuffled['a'].sum()) == 8.0
+  assert not np.array_equal(np.asarray(shuffled['a']), np.eye(8))
+
+
+def test_metrics_writer_roundtrip(tmp_path):
+  w = MetricsWriter(str(tmp_path))
+  w.write(1, {'loss': jnp.asarray(2.5), 'note': 'x'})
+  w.write(2, {'loss': 1.5})
+  w.close()
+  recs = read_metrics(str(tmp_path))
+  assert len(recs) == 2
+  assert recs[0]['loss'] == 2.5
+  assert recs[0]['note'] == 'x'
+
+
+def test_trainer_writes_metrics_and_ckpt(tmp_path):
+  t = _small_trainer(tmp_path)
+  t.train()
+  recs = read_metrics(str(tmp_path / 'ckpt'))
+  assert any('loss' in r for r in recs)
+  assert os.path.isdir(str(tmp_path / 'ckpt'))
+
+
+def test_summaries_helpers():
+  masks = {'a': jnp.ones((4, 4)), 'b': jnp.zeros((4, 4))}
+  s = sparsity_summaries(masks)
+  assert s['global_sparsity'] == 0.5
+  assert s['sparsity/b'] == 1.0
+  n = norm_summaries({'w': jnp.full((2, 2), 3.0)}, 'param')
+  assert n['param_norm'] == pytest.approx(6.0)
+  d = distance_to_init({'w': jnp.ones(4)}, {'w': jnp.zeros(4)})
+  assert d['distance_to_init'] == pytest.approx(2.0)
