@@ -21,14 +21,29 @@ import numpy as np
 
 
 def _bench_step(step_fn, state, batch, warmup: int, iters: int):
+  """Times `iters` chained train steps executed inside ONE jitted lax.scan,
+  synchronized by a host readback of the final loss.
+
+  Rationale: under the remote (axon) backend, per-call dispatch pipelines
+  and `block_until_ready` on donated outputs returns early, which produced
+  impossible >peak-FLOPs numbers; a scan with a value readback measures
+  pure device time for the whole chain.
+  """
   import jax
-  for _ in range(warmup):
-    state, metrics = step_fn(state, batch)
-  jax.block_until_ready(state.params)
+
+  def scan_fn(state, batch):
+    def body(s, _):
+      s, metrics = step_fn(s, batch)
+      return s, metrics['loss']
+    state, losses = jax.lax.scan(body, state, None, length=iters)
+    return state, losses[-1]
+
+  run = jax.jit(scan_fn, donate_argnums=0)
+  state, loss = run(state, batch)          # compile + warm
+  _ = float(loss)
   t0 = time.perf_counter()
-  for _ in range(iters):
-    state, metrics = step_fn(state, batch)
-  jax.block_until_ready(state.params)
+  state, loss = run(state, batch)
+  _ = float(loss)
   return (time.perf_counter() - t0) / iters, state
 
 
@@ -62,10 +77,8 @@ def main():
                         default_sparsity=0.8)
     state = steps.init_train_state(jax.random.key(0), model, st,
                                    (batch, image, image, 3))
-    fn = jax.jit(
-        steps.make_train_step(model, st, weight_decay=1e-4,
-                              label_smoothing=0.1),
-        donate_argnums=0)
+    fn = steps.make_train_step(model, st, weight_decay=1e-4,
+                               label_smoothing=0.1)
     return fn, state
 
   rng = np.random.default_rng(0)

@@ -79,6 +79,7 @@ class SparseTraining:
       mask_rule=masks_lib.default_mask_rule,
       seed: int = 0,
       mask_dtype=jnp.float32,
+      block: Optional[Tuple[int, int]] = None,
   ):
     self.tx = tx
     self.algo = algo
@@ -89,8 +90,24 @@ class SparseTraining:
     self.mask_rule = mask_rule
     self.seed = seed
     self.mask_dtype = mask_dtype
+    # Block-granular sparsity: masks constant over (block_rows x block_cols)
+    # blocks of the 2D matmul view, enabling the block-sparse Pallas kernels
+    # (the reference reserved block_width/height flags for this,
+    # imagenet_train_eval.py:271-272, but never implemented them).  Layers
+    # whose 2D view the block does not divide stay element-granular.
+    self.block = block
     # Per-layer sparsity targets, filled by init() (host-side dict of floats).
     self.sparsities: Dict[str, float] = {}
+
+  def _layer_block(self, shape) -> Optional[Tuple[int, int]]:
+    if self.block is None:
+      return None
+    from rigl_tpu.ops.block_mask import block_shape_for
+    rows, cols = block_shape_for(tuple(shape), self.block)
+    br, bc = self.block
+    if rows % br == 0 and cols % bc == 0:
+      return self.block
+    return None
 
   # ------------------------------------------------------------------ init --
   def init(self, key: jax.Array, params: PyTree
@@ -122,9 +139,16 @@ class SparseTraining:
       else:
         mask_dict = {}
         for i, (p, s) in enumerate(shapes.items()):
-          mask_dict[p] = masks_lib.random_mask(
-              jax.random.fold_in(key, i), s, self.sparsities[p],
-              self.mask_dtype)
+          blk = self._layer_block(s)
+          if blk is not None:
+            from rigl_tpu.ops.block_mask import random_block_mask
+            mask_dict[p] = random_block_mask(
+                jax.random.fold_in(key, i), s, self.sparsities[p], blk,
+                self.mask_dtype)
+          else:
+            mask_dict[p] = masks_lib.random_mask(
+                jax.random.fold_in(key, i), s, self.sparsities[p],
+                self.mask_dtype)
 
     ema = None
     if algo.needs_ema:
@@ -203,9 +227,16 @@ class SparseTraining:
           masked_grad=g,
           initial_weights=(None if sstate.initial_weights is None
                            else sstate.initial_weights[path]))
-      res = update_lib.drop_grow_update(
-          mask, w, score_drop, score_grow, drop_fraction,
-          grow_tensor=grow_tensor, reinit_when_same=algo.reinit_when_same)
+      blk = self._layer_block(mask.shape)
+      if blk is not None:
+        from rigl_tpu.ops.block_mask import blockwise_drop_grow
+        res = blockwise_drop_grow(
+            mask, w, score_drop, score_grow, drop_fraction, blk,
+            grow_tensor=grow_tensor, reinit_when_same=algo.reinit_when_same)
+      else:
+        res = update_lib.drop_grow_update(
+            mask, w, score_drop, score_grow, drop_fraction,
+            grow_tensor=grow_tensor, reinit_when_same=algo.reinit_when_same)
       new_masks[path] = res.mask
       new_weights[path] = res.weights
       new_conn[path] = res.new_connections

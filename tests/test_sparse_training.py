@@ -336,3 +336,37 @@ def test_algorithm_factory():
   rigl = algorithms.get_algorithm('rigl')
   assert rigl.skip_apply_on_update
   assert rigl.needs_dense_grad_score
+
+
+def test_block_granular_sparse_training():
+  """block=(4,4): masks stay block-structured through RigL updates
+  (the reference's reserved block_width/height capability)."""
+  from rigl_tpu.ops.block_mask import pool_to_blocks
+  algo = algorithms.RigL(schedule=UpdateSchedule(
+      begin_step=0, end_step=-1, frequency=1, drop_fraction=0.5))
+  st = SparseTraining(optax.sgd(0.1, momentum=0.9), algo,
+                      distribution='uniform', default_sparsity=0.5,
+                      block=(4, 4))
+  params = _params(16, 8)
+  opt_state, sstate = st.init(jax.random.key(0), params)
+  m0 = sstate.masks[KEY]
+  blocks = pool_to_blocks(m0, (4, 4), 'mean')
+  assert set(np.unique(np.asarray(blocks))) <= {0.0, 1.0}
+  n_ones = float(jnp.sum(m0))
+  for i in range(3):
+    grads = _grads_like(params, seed=i)
+    params, opt_state, sstate, _ = st.step(params, opt_state, sstate, grads)
+  m = sstate.masks[KEY]
+  blocks = pool_to_blocks(m, (4, 4), 'mean')
+  assert set(np.unique(np.asarray(blocks))) <= {0.0, 1.0}
+  assert float(jnp.sum(m)) == n_ones
+
+
+def test_block_granular_skips_indivisible_layers():
+  st = SparseTraining(optax.sgd(0.1), algorithms.SET(),
+                      distribution='uniform', default_sparsity=0.5,
+                      block=(5, 3))
+  params = _params(16, 8)  # 16x8 not divisible by 5x3
+  _, sstate = st.init(jax.random.key(0), params)
+  # Falls back to element-granular: count still exact.
+  assert float(jnp.sum(sstate.masks[KEY])) == 64.0
