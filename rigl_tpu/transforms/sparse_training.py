@@ -265,6 +265,31 @@ class SparseTraining:
           score, self.sparsities[path], self.mask_dtype)
     return out
 
+  def one_shot_prune(self, params: PyTree, sstate: SparseState,
+                     pruning_rate=None) -> SparseState:
+    """Magnitude-prunes masks to the target rate in one shot.
+
+    Parity with the eager MaskUpdater.prune (rigl_tf2/mask_updaters.py:
+    296-298) and the JAX branch's pruning.prune (experimental/jax/pruning/
+    pruning.py:31-94): per layer, keep the largest |mask * w|;
+    `pruning_rate` is a float for all layers or a {path: rate} dict;
+    defaults to the configured per-layer sparsities.
+    """
+    masks = sstate.masks
+    w_sel = masks_lib.select_masked(params, masks)
+    new_masks: MaskDict = {}
+    for path, mask in masks.items():
+      if pruning_rate is None:
+        rate = self.sparsities[path]
+      elif isinstance(pruning_rate, dict):
+        rate = pruning_rate.get(path, 0.0)
+      else:
+        rate = float(pruning_rate)
+      score = jnp.abs(mask.astype(jnp.float32) * w_sel[path])
+      new_masks[path] = update_lib.prune_to_sparsity(score, rate,
+                                                     self.mask_dtype)
+    return sstate.replace(masks=new_masks)
+
   # ------------------------------------------------------------------ step --
   def step(self, params: PyTree, opt_state: optax.OptState,
            sstate: SparseState, dense_grads: PyTree

@@ -83,6 +83,41 @@ def distance_to_init(params, init_params) -> Dict[str, float]:
   return {'distance_to_init': dist, 'cosine_to_init': cos}
 
 
+def snr_summaries(loss_fn, params, batch) -> Dict[str, float]:
+  """Gradient signal-to-noise ratio over a batch.
+
+  Parity with rl/tfagents/tf_sparse_utils.py:186-206 (log_snr): per-sample
+  gradients (vmap of per-example grad), SNR = |mean / (std + 1e-10)| per
+  parameter, summarized by mean and std.  Expensive — call sparingly.
+  """
+  def one_example(p, x, y):
+    return loss_fn(p, jax.tree.map(lambda v: v[None], {'x': x, 'y': y}))
+
+  per_sample = jax.vmap(jax.grad(one_example), in_axes=(None, 0, 0))(
+      params, batch['x'], batch['y'])
+  snrs = []
+  for g in jax.tree.leaves(per_sample):
+    g = g.astype(jnp.float32)
+    mean = jnp.mean(g, axis=0)
+    std = jnp.std(g, axis=0)
+    snrs.append(jnp.abs(mean / (std + 1e-10)).reshape(-1))
+  flat = jnp.concatenate(snrs)
+  return {'snr_mean': float(jnp.mean(flat)), 'snr_std': float(jnp.std(flat))}
+
+
+def per_class_metrics(logits, labels, num_classes: int) -> Dict[str, float]:
+  """Per-class precision/recall (cifar_resnet/resnet_train_eval.py:141-168)."""
+  preds = jnp.argmax(logits, axis=-1)
+  out: Dict[str, float] = {}
+  for c in range(num_classes):
+    tp = jnp.sum((preds == c) & (labels == c)).astype(jnp.float32)
+    fp = jnp.sum((preds == c) & (labels != c)).astype(jnp.float32)
+    fn = jnp.sum((preds != c) & (labels == c)).astype(jnp.float32)
+    out[f'precision/class_{c}'] = float(tp / jnp.maximum(tp + fp, 1.0))
+    out[f'recall/class_{c}'] = float(tp / jnp.maximum(tp + fn, 1.0))
+  return out
+
+
 @contextlib.contextmanager
 def profile_trace(log_dir: Optional[str]) -> Iterator[None]:
   """jax.profiler trace capture around a training region (view in
