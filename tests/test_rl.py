@@ -124,3 +124,31 @@ def test_sparse_dqn_cartpole_learns():
   result = agent.train(total_env_steps=6000, log_every=0)
   assert result['episodes'] > 5
   assert result['avg_return'] > 35.0
+
+
+def test_sparse_ppo_smoke():
+  from rigl_tpu.rl.ppo import PPOConfig, SparsePPO
+  env = CartPole()
+  cfg = PPOConfig(training_method='set', sparsity=0.7, rollout_length=64,
+                  num_epochs=2, num_minibatches=2,
+                  maskupdate_frequency=4, maskupdate_begin_step=0)
+  agent = SparsePPO(env, cfg, hidden=(32,))
+  result = agent.train(total_env_steps=256)
+  assert result['env_steps'] == 256
+  assert result['update_steps'] > 0
+  assert result['global_sparsity'] == pytest.approx(0.7, abs=0.05)
+
+
+def test_sparse_ppo_cartpole_learns():
+  from rigl_tpu.rl.ppo import PPOConfig, SparsePPO
+  env = CartPole()
+  cfg = PPOConfig(training_method='rigl', sparsity=0.5, rollout_length=256,
+                  num_epochs=4, num_minibatches=4, learning_rate=1e-3,
+                  maskupdate_frequency=100, maskupdate_begin_step=50)
+  agent = SparsePPO(env, cfg, hidden=(64, 64))
+  returns = []
+  result = agent.train(total_env_steps=256 * 60,
+                       progress_fn=lambda m: returns.append(m['avg_return']))
+  assert result['episodes'] > 5
+  # Clearly better than the ~20-step random policy.
+  assert result['avg_return'] > 40.0
