@@ -113,3 +113,23 @@ def test_summaries_helpers():
   assert n['param_norm'] == pytest.approx(6.0)
   d = distance_to_init({'w': jnp.ones(4)}, {'w': jnp.zeros(4)})
   assert d['distance_to_init'] == pytest.approx(2.0)
+
+
+def test_export_and_load_for_inference(tmp_path):
+  from rigl_tpu.train.export import export_model, load_for_inference
+  t = _small_trainer(tmp_path, checkpoint_dir=None, checkpoint_every=0)
+  t.train()
+  state = t.state
+  d = export_model(str(tmp_path / 'export'), 'mnist_mlp', {},
+                   state.params, state.sparse.masks, state.batch_stats)
+  apply_fn, manifest = load_for_inference(d)
+  assert manifest['global_sparsity'] == pytest.approx(0.5, abs=0.05)
+  x = jnp.zeros((2, 28, 28, 1))
+  logits = apply_fn(x)
+  assert logits.shape == (2, 10)
+  # Baked weights equal mask*w from the train state.
+  from rigl_tpu.sparsity import masks as masks_lib
+  eff = masks_lib.apply_masks(state.params, state.sparse.masks)
+  ref = t.model.apply({'params': eff['params'],
+                       'batch_stats': state.batch_stats}, x, train=False)
+  np.testing.assert_allclose(np.asarray(logits), np.asarray(ref), rtol=1e-6)
