@@ -21,29 +21,26 @@ import numpy as np
 
 
 def _bench_step(step_fn, state, batch, warmup: int, iters: int):
-  """Times `iters` chained train steps executed inside ONE jitted lax.scan,
-  synchronized by a host readback of the final loss.
+  """Times `iters` *chained* train steps (each consumes the previous state)
+  and synchronizes on a host readback of the final loss.
 
-  Rationale: under the remote (axon) backend, per-call dispatch pipelines
-  and `block_until_ready` on donated outputs returns early, which produced
-  impossible >peak-FLOPs numbers; a scan with a value readback measures
-  pure device time for the whole chain.
+  Rationale: under the remote (axon) backend, `block_until_ready` on donated
+  outputs returns before execution finishes, which produced impossible
+  >peak-FLOPs numbers.  The state chain forces sequential execution and the
+  final value readback bounds total device time; per-call dispatch overhead
+  is amortized and small relative to a ResNet-50 train step.  (Wrapping the
+  chain in lax.scan would remove dispatch entirely, but that program shape
+  stalls the remote compiler.)
   """
   import jax
-
-  def scan_fn(state, batch):
-    def body(s, _):
-      s, metrics = step_fn(s, batch)
-      return s, metrics['loss']
-    state, losses = jax.lax.scan(body, state, None, length=iters)
-    return state, losses[-1]
-
-  run = jax.jit(scan_fn, donate_argnums=0)
-  state, loss = run(state, batch)          # compile + warm
-  _ = float(loss)
+  run = jax.jit(step_fn, donate_argnums=0)
+  for _ in range(warmup):
+    state, metrics = run(state, batch)
+  _ = float(metrics['loss'])
   t0 = time.perf_counter()
-  state, loss = run(state, batch)
-  _ = float(loss)
+  for _ in range(iters):
+    state, metrics = run(state, batch)
+  _ = float(metrics['loss'])
   return (time.perf_counter() - t0) / iters, state
 
 

@@ -67,9 +67,15 @@ def make_train_step(
     label_smoothing: float = 0.0,
     has_batch_stats: bool = True,
     has_dropout: bool = False,
+    grow_batch: Optional[Dict[str, jnp.ndarray]] = None,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]],
               Tuple[TrainState, Dict[str, jnp.ndarray]]]:
-  """Builds the fused train step for `model` + sparse-training config `st`."""
+  """Builds the fused train step for `model` + sparse-training config `st`.
+
+  `grow_batch`: optional held-out batch whose dense gradients provide the
+  grow scores at mask-update steps (rigl_tf2/mask_updaters.py:185-192);
+  evaluated only inside the update branch.
+  """
 
   def loss_fn(eff_params, batch_stats, batch, rng):
     # `eff_params` is the {'params': ...}-wrapped tree (mask paths are
@@ -96,8 +102,16 @@ def make_train_step(
     eff = masks_lib.apply_masks(state.params, state.sparse.masks)
     (loss, (logits, new_batch_stats)), dense_grads = jax.value_and_grad(
         loss_fn, has_aux=True)(eff, state.batch_stats, batch, step_rng)
+    grow_grads_fn = None
+    if grow_batch is not None:
+      def grow_grads_fn(params):
+        eff_p = masks_lib.apply_masks(params, state.sparse.masks)
+        return jax.grad(
+            lambda p: loss_fn(p, state.batch_stats, grow_batch,
+                              step_rng)[0])(eff_p)
     params, opt_state, sstate, st_metrics = st.step(
-        state.params, state.opt_state, state.sparse, dense_grads)
+        state.params, state.opt_state, state.sparse, dense_grads,
+        grow_grads_fn=grow_grads_fn)
     new_state = state.replace(
         params=params, batch_stats=new_batch_stats, opt_state=opt_state,
         sparse=sstate, rng=rng)

@@ -80,6 +80,7 @@ class SparseTraining:
       seed: int = 0,
       mask_dtype=jnp.float32,
       block: Optional[Tuple[int, int]] = None,
+      mask_generator: Optional[str] = None,
   ):
     self.tx = tx
     self.algo = algo
@@ -96,6 +97,10 @@ class SparseTraining:
     # imagenet_train_eval.py:271-272, but never implemented them).  Layers
     # whose 2D view the block does not divide stay element-granular.
     self.block = block
+    # Structured init: 'per_neuron', 'symmetric',
+    # 'per_neuron_no_input_ablation', ... (sparsity/generators.py registry);
+    # None = plain exact-count random masks.
+    self.mask_generator = mask_generator
     # Per-layer sparsity targets, filled by init() (host-side dict of floats).
     self.sparsities: Dict[str, float] = {}
 
@@ -136,6 +141,14 @@ class SparseTraining:
           mask_dict[p] = masks_lib.random_mask(
               jax.random.fold_in(key, i), s, algo.initial_sparsity,
               self.mask_dtype)
+      elif self.mask_generator is not None:
+        from rigl_tpu.sparsity import generators
+        mask_dict = {}
+        for i, (p, s) in enumerate(shapes.items()):
+          layer = generators.generate_mask(
+              self.mask_generator, jax.random.fold_in(key, i), {p: s},
+              self.sparsities[p], self.mask_dtype)
+          mask_dict[p] = layer[p]
       else:
         mask_dict = {}
         for i, (p, s) in enumerate(shapes.items()):
@@ -292,12 +305,18 @@ class SparseTraining:
 
   # ------------------------------------------------------------------ step --
   def step(self, params: PyTree, opt_state: optax.OptState,
-           sstate: SparseState, dense_grads: PyTree
+           sstate: SparseState, dense_grads: PyTree,
+           grow_grads_fn=None
            ) -> Tuple[PyTree, optax.OptState, SparseState, Dict[str, Any]]:
     """One training iteration: gradient application and/or mask update.
 
     `dense_grads` must be the gradient of the loss w.r.t. the *effective*
     (masked) parameters — dense at masked leaves.
+
+    `grow_grads_fn` (optional): params -> dense grads used for *grow scores
+    only*, evaluated lazily inside the mask-update branch — the rigl_tf2
+    convention of scoring regrowth on a held-out validation batch
+    (mask_updaters.py:185-192).  Costs nothing on non-update iterations.
     """
     algo = self.algo
     masks = sstate.masks
@@ -403,7 +422,9 @@ class SparseTraining:
       drop_fraction = sched.get_drop_fraction(sstate.step)
 
       def update_branch(params, opt_state):
-        p, os, m = self._drop_grow_all(params, opt_state, sstate, dense_grads,
+        score_grads = (grow_grads_fn(params) if grow_grads_fn is not None
+                       else dense_grads)
+        p, os, m = self._drop_grow_all(params, opt_state, sstate, score_grads,
                                        drop_fraction, ema)
         return p, os, m, sstate.step, sstate.step
 
@@ -424,8 +445,10 @@ class SparseTraining:
       drop_fraction = sched.get_drop_fraction(new_step)
 
       def update_branch(params, opt_state):
+        score_grads = (grow_grads_fn(params) if grow_grads_fn is not None
+                       else dense_grads)
         p, os, m = self._drop_grow_all(
-            params, opt_state, sstate.replace(step=new_step), dense_grads,
+            params, opt_state, sstate.replace(step=new_step), score_grads,
             drop_fraction, ema)
         return p, os, m, new_step
 

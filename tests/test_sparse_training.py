@@ -370,3 +370,43 @@ def test_block_granular_skips_indivisible_layers():
   _, sstate = st.init(jax.random.key(0), params)
   # Falls back to element-granular: count still exact.
   assert float(jnp.sum(sstate.masks[KEY])) == 64.0
+
+
+def test_grow_grads_fn_validation_batch():
+  """RigL grow scores from a held-out batch (rigl_tf2 convention): the
+  positions grown are chosen by the validation-gradient magnitudes."""
+  algo = algorithms.RigL(schedule=UpdateSchedule(
+      begin_step=0, end_step=-1, frequency=100, drop_fraction=0.5),
+      noise_std=0.0)
+  st = _make(algo)
+  params = _params(6, 4)
+  opt_state, sstate = st.init(jax.random.key(0), params)
+  mask = np.asarray(sstate.masks[KEY])
+  inactive = np.argwhere(mask == 0)
+  n_prune = int(mask.sum() * 0.5)
+  chosen = inactive[:n_prune]
+  gval = np.zeros((6, 4), np.float32)
+  for r, c in chosen:
+    gval[r, c] = 100.0
+  val_grads = {'params': {'Dense_0': {'kernel': jnp.asarray(gval),
+                                      'bias': jnp.zeros(4)}}}
+  train_grads = _grads_like(params, seed=9)  # different, small grads
+
+  _, _, new_sstate, metrics = st.step(
+      params, opt_state, sstate, train_grads,
+      grow_grads_fn=lambda p: val_grads)
+  assert bool(metrics['mask_updated'])
+  new_mask = np.asarray(new_sstate.masks[KEY])
+  for r, c in chosen:
+    assert new_mask[r, c] == 1.0
+
+
+def test_structured_mask_generator_init():
+  st = SparseTraining(optax.sgd(0.1), algorithms.SCRATCH,
+                      distribution='uniform', default_sparsity=0.5,
+                      mask_generator='per_neuron')
+  params = _params(12, 8)
+  _, sstate = st.init(jax.random.key(0), params)
+  m = np.asarray(sstate.masks[KEY])
+  fan_ins = m.sum(axis=0)
+  assert len(set(fan_ins.tolist())) == 1  # per-neuron uniform fan-in
