@@ -1,0 +1,79 @@
+"""Sparse RL driver — parity with rigl/rl/train.py and the tfagents
+entry points: DQN or PPO on the pure-JAX CartPole with any sparse training
+method.
+
+  python -m rigl_tpu.drivers.rl --agent=dqn --training_method=rigl \
+      --end_sparsity=0.9 --total_env_steps=20000
+"""
+
+from __future__ import annotations
+
+import json
+
+from absl import app, flags
+
+FLAGS = flags.FLAGS
+flags.DEFINE_string('agent', 'dqn', 'dqn | ppo')
+flags.DEFINE_string('training_method', 'rigl',
+                    'rigl|set|static|momentum|snip|dnw|none')
+flags.DEFINE_float('end_sparsity', 0.9, '')
+flags.DEFINE_string('mask_init_method', 'erdos_renyi_kernel', '')
+flags.DEFINE_integer('total_env_steps', 20000, '')
+flags.DEFINE_integer('maskupdate_frequency', 500, 'in learn steps')
+flags.DEFINE_integer('maskupdate_begin_step', 200, '')
+flags.DEFINE_float('drop_fraction', 0.3, '')
+flags.DEFINE_float('learning_rate', 1e-3, '')
+flags.DEFINE_integer('seed', 0, '')
+flags.DEFINE_integer('log_every', 1000, '')
+flags.DEFINE_string('output_dir', None, '')
+
+
+def main(argv):
+  del argv
+  from rigl_tpu.rl import CartPole, MLPQNetwork
+  env = CartPole()
+  method = FLAGS.training_method
+  if method in ('none', 'dense'):
+    method = 'none'
+
+  if FLAGS.agent == 'dqn':
+    from rigl_tpu.rl import DQNConfig, SparseDQN
+    cfg = DQNConfig(
+        training_method=method,
+        sparsity=FLAGS.end_sparsity,
+        mask_init_method=FLAGS.mask_init_method,
+        maskupdate_frequency=FLAGS.maskupdate_frequency,
+        maskupdate_begin_step=FLAGS.maskupdate_begin_step,
+        drop_fraction=FLAGS.drop_fraction,
+        learning_rate=FLAGS.learning_rate,
+        seed=FLAGS.seed)
+    agent = SparseDQN(MLPQNetwork(env.num_actions), env, cfg)
+    result = agent.train(FLAGS.total_env_steps, log_every=FLAGS.log_every,
+                         progress_fn=print)
+  elif FLAGS.agent == 'ppo':
+    from rigl_tpu.rl.ppo import PPOConfig, SparsePPO
+    cfg = PPOConfig(
+        training_method=method,
+        sparsity=FLAGS.end_sparsity,
+        mask_init_method=FLAGS.mask_init_method,
+        maskupdate_frequency=FLAGS.maskupdate_frequency,
+        maskupdate_begin_step=FLAGS.maskupdate_begin_step,
+        drop_fraction=FLAGS.drop_fraction,
+        learning_rate=FLAGS.learning_rate,
+        seed=FLAGS.seed)
+    agent = SparsePPO(env, cfg)
+    result = agent.train(FLAGS.total_env_steps, progress_fn=print)
+  else:
+    raise ValueError(f'unknown agent {FLAGS.agent!r}')
+
+  print(json.dumps(result, indent=2))
+  if FLAGS.output_dir:
+    import os
+    os.makedirs(FLAGS.output_dir, exist_ok=True)
+    with open(os.path.join(FLAGS.output_dir, 'results.json'), 'w') as f:
+      json.dump(result, f, indent=2)
+  return result
+
+
+if __name__ == '__main__':
+  app.run(main)
