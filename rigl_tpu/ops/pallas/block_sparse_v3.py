@@ -1,0 +1,134 @@
+"""Block-sparse matmul v3: x panel resident in VMEM, w gathered from HBM.
+
+Refinement of v2 guided by the round-1 TPU benchmarks (PERF.md): v2's
+per-block x-tile DMA serialized against compute.  Here the activation row
+panel (bm x K) is auto-pipelined into VMEM once per grid row (Pallas skips
+the re-fetch while the block index is unchanged along the j sweep), and only
+the *weight* tiles — the tensors sparsity actually thins — are manually
+DMA'd with double buffering over the packed active-block list.  HBM weight
+traffic scales with density.
+
+Also provides `pallas_dense_matmul`, the identical structure without
+sparsity, as the control for isolating kernel overhead from skip savings.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rigl_tpu.ops.pallas.block_sparse_v2 import pack_block_indices
+
+
+def _v3_kernel(counts_ref, idx_ref, x_ref, w_hbm, o_ref, w_buf, sems,
+               *, bk, bn):
+  j = pl.program_id(1)
+  count = counts_ref[j]
+  col = pl.multiple_of(j * bn, bn)
+
+  def w_copy(s, slot):
+    k = idx_ref[j, s] * bk
+    return pltpu.make_async_copy(
+        w_hbm.at[pl.ds(k, bk), pl.ds(col, bn)], w_buf.at[slot],
+        sems.at[slot])
+
+  @pl.when(count > 0)
+  def _():
+    w_copy(0, 0).start()
+
+  def body(s, acc):
+    slot = jax.lax.rem(s, 2)
+
+    @pl.when(s + 1 < count)
+    def _():
+      w_copy(s + 1, 1 - slot).start()
+
+    w_copy(s, slot).wait()
+    k = idx_ref[j, s] * bk
+    x_tile = x_ref[:, pl.ds(k, bk)]
+    return acc + jnp.dot(x_tile, w_buf[slot],
+                         preferred_element_type=jnp.float32)
+
+  acc = jax.lax.fori_loop(
+      0, count, body, jnp.zeros(o_ref.shape, jnp.float32))
+  o_ref[:] = acc.astype(o_ref.dtype)
+
+
+def block_sparse_matmul_v3(x, w, block_mask,
+                           block: Tuple[int, int] = (512, 512),
+                           bm: int = 512,
+                           interpret: Optional[bool] = None):
+  """y = x @ (expanded(block_mask) * w); x VMEM-resident, w gathered."""
+  if interpret is None:
+    interpret = jax.default_backend() == 'cpu'
+  m, kdim = x.shape
+  _, n = w.shape
+  bk, bn = block
+  if m % bm or kdim % bk or n % bn:
+    raise ValueError(f'shapes ({m},{kdim},{n}) must divide tiles '
+                     f'bm={bm}, block={block}')
+  counts, idx = pack_block_indices(block_mask)
+
+  kernel = functools.partial(_v3_kernel, bk=bk, bn=bn)
+  return pl.pallas_call(
+      kernel,
+      grid_spec=pltpu.PrefetchScalarGridSpec(
+          num_scalar_prefetch=2,
+          grid=(m // bm, n // bn),
+          in_specs=[
+              # Full x row-panel auto-pipelined to VMEM; constant along j.
+              pl.BlockSpec((bm, kdim), lambda i, j, c, ix: (i, 0)),
+              pl.BlockSpec(memory_space=pltpu.ANY),   # w stays in HBM
+          ],
+          out_specs=pl.BlockSpec((bm, bn), lambda i, j, c, ix: (i, j)),
+          scratch_shapes=[
+              pltpu.VMEM((2, bk, bn), w.dtype),
+              pltpu.SemaphoreType.DMA((2,)),
+          ],
+      ),
+      out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+      interpret=interpret,
+  )(counts, idx, x, w)
+
+
+# ---------------------------------------------------------------- control --
+def _dense_kernel(x_ref, w_ref, o_ref, acc_ref):
+  k = pl.program_id(2)
+
+  @pl.when(k == 0)
+  def _():
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+  acc_ref[:] += jnp.dot(x_ref[:], w_ref[:],
+                        preferred_element_type=jnp.float32)
+
+  @pl.when(k == pl.num_programs(2) - 1)
+  def _():
+    o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def pallas_dense_matmul(x, w, tiles: Tuple[int, int, int] = (512, 512, 512),
+                        interpret: Optional[bool] = None):
+  """Plain tiled Pallas matmul (auto-pipelined), the kernel-overhead control."""
+  if interpret is None:
+    interpret = jax.default_backend() == 'cpu'
+  m, kdim = x.shape
+  _, n = w.shape
+  bm, bk, bn = tiles
+  return pl.pallas_call(
+      _dense_kernel,
+      grid=(m // bm, n // bn, kdim // bk),
+      in_specs=[
+          pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
+          pl.BlockSpec((bk, bn), lambda i, j, k: (k, j)),
+      ],
+      out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+      scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+      out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+      interpret=interpret,
+  )(x, w)

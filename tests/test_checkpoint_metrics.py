@@ -133,3 +133,22 @@ def test_export_and_load_for_inference(tmp_path):
   ref = t.model.apply({'params': eff['params'],
                        'batch_stats': state.batch_stats}, x, train=False)
   np.testing.assert_allclose(np.asarray(logits), np.asarray(ref), rtol=1e-6)
+
+
+def test_eval_loop_eval_once(tmp_path):
+  from rigl_tpu.train.eval_loop import evaluate_checkpoints
+  t = _small_trainer(tmp_path)
+  t.train()
+  t2 = _small_trainer(tmp_path)
+  results = evaluate_checkpoints(t2, str(tmp_path / 'ckpt'), eval_once=True)
+  assert len(results) == 1
+  assert results[0]['step'] == 4
+  assert 'top_1' in results[0]
+
+
+def test_eval_loop_missing_dir_raises(tmp_path):
+  from rigl_tpu.train.eval_loop import evaluate_checkpoints
+  t = _small_trainer(tmp_path, checkpoint_dir=None, checkpoint_every=0)
+  with pytest.raises(FileNotFoundError):
+    evaluate_checkpoints(t, str(tmp_path / 'nope'), eval_once=True,
+                         timeout_seconds=2.0)
