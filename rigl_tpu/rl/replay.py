@@ -24,10 +24,15 @@ class ReplayBuffer(NamedTuple):
   size: jnp.ndarray        # int32 valid entries
 
 
-def create(capacity: int, obs_shape: Tuple[int, ...]) -> ReplayBuffer:
+def create(capacity: int, obs_shape: Tuple[int, ...],
+           action_shape: Tuple[int, ...] = ()) -> ReplayBuffer:
+  """Discrete actions by default; pass action_shape=(action_dim,) for
+  continuous control (float actions)."""
+  action = (jnp.zeros((capacity,), jnp.int32) if action_shape == ()
+            else jnp.zeros((capacity,) + action_shape, jnp.float32))
   return ReplayBuffer(
       obs=jnp.zeros((capacity,) + obs_shape, jnp.float32),
-      action=jnp.zeros((capacity,), jnp.int32),
+      action=action,
       reward=jnp.zeros((capacity,), jnp.float32),
       next_obs=jnp.zeros((capacity,) + obs_shape, jnp.float32),
       done=jnp.zeros((capacity,), jnp.bool_),

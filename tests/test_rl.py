@@ -152,3 +152,50 @@ def test_sparse_ppo_cartpole_learns():
   assert result['episodes'] > 5
   # Clearly better than the ~20-step random policy.
   assert result['avg_return'] > 40.0
+
+
+def test_pendulum_env():
+  from rigl_tpu.rl.envs import Pendulum
+  env = Pendulum()
+  s = env.reset(jax.random.key(0))
+  assert s.obs.shape == (3,)
+  # cos^2 + sin^2 = 1
+  assert float(s.obs[0] ** 2 + s.obs[1] ** 2) == pytest.approx(1.0, abs=1e-5)
+  s2, r, d = env.step(s, jnp.asarray([1.0]))
+  assert float(r) <= 0.0  # reward is negative cost
+  assert not bool(d)
+  # Terminates exactly at max_steps.
+  for i in range(env.max_steps - 1):
+    s2, r, d = env.step(s2, jnp.asarray([0.0]))
+  assert bool(d)
+
+
+def test_sparse_sac_smoke():
+  from rigl_tpu.rl.envs import Pendulum
+  from rigl_tpu.rl.sac import SACConfig, SparseSAC
+  env = Pendulum()
+  cfg = SACConfig(training_method='set', sparsity=0.6, buffer_capacity=512,
+                  min_replay=64, batch_size=32, learn_every=4,
+                  maskupdate_frequency=10, maskupdate_begin_step=0)
+  agent = SparseSAC(env, cfg, hidden=(32, 32))
+  result = agent.train(total_env_steps=256, log_every=0)
+  assert result['env_steps'] == 256
+  assert result['learn_steps'] > 0
+  assert result['global_sparsity'] == pytest.approx(0.6, abs=0.06)
+  assert np.isfinite(result['alpha'])
+
+
+def test_sparse_sac_pendulum_improves():
+  """SAC on Pendulum: trained return must beat the random policy's
+  (~ -1200 average) by a wide margin."""
+  from rigl_tpu.rl.envs import Pendulum
+  from rigl_tpu.rl.sac import SACConfig, SparseSAC
+  env = Pendulum()
+  cfg = SACConfig(training_method='rigl', sparsity=0.5,
+                  buffer_capacity=20000, min_replay=500, batch_size=128,
+                  learn_every=1, learning_rate=3e-3,
+                  maskupdate_frequency=1000, maskupdate_begin_step=500)
+  agent = SparseSAC(env, cfg, hidden=(64, 64))
+  result = agent.train(total_env_steps=12000, log_every=0)
+  assert result['episodes'] > 10
+  assert result['avg_return'] > -900.0
