@@ -124,6 +124,36 @@ def make_train_step(
   return train_step
 
 
+def make_grad_norm_fn(model, st: SparseTraining, weight_decay: float = 0.0,
+                      label_smoothing: float = 0.0,
+                      has_batch_stats: bool = True):
+  """Global L2 norm of the *masked* training gradients on a batch — used to
+  log the gradient-norm change produced by a mask update
+  (rigl_tf2/train.py:433-438)."""
+
+  def grad_norm(state: TrainState, batch):
+    eff = masks_lib.apply_masks(state.params, state.sparse.masks)
+
+    def loss_fn(eff_params):
+      variables = {'params': eff_params['params']}
+      if has_batch_stats:
+        variables['batch_stats'] = state.batch_stats
+        logits = model.apply(variables, batch['image'], train=True,
+                             mutable=['batch_stats'])[0]
+      else:
+        logits = model.apply(variables, batch['image'], train=True)
+      loss = cross_entropy_loss(logits, batch['label'], label_smoothing)
+      return loss + l2_regularization(eff_params, weight_decay)
+
+    grads = jax.grad(loss_fn)(eff)
+    grads = masks_lib.mask_grads(grads, state.sparse.masks)
+    sq = sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+             for g in jax.tree.leaves(grads))
+    return jnp.sqrt(sq)
+
+  return grad_norm
+
+
 def make_eval_step(model, has_batch_stats: bool = True):
   """Top-1/top-5 eval step on masked params (imagenet_train_eval.py:596-615)."""
 

@@ -81,6 +81,10 @@ class TrainConfig:
   checkpoint_dir: Optional[str] = None
   checkpoint_every: int = 0
   n_synthetic: int = 4096
+  # Save pre/post snapshots around every mask update and log the grad-norm
+  # change the update produced (rigl_tf2/train.py:418-438).  Update steps
+  # are predicted host-side from the deterministic schedule.
+  snapshot_mask_updates: bool = False
 
   # parallelism
   n_model_shards: int = 1
@@ -155,6 +159,34 @@ def build_algorithm(config: TrainConfig) -> algorithms.Algorithm:
     return algorithms.GradualPruning(
         schedule=sched, initial_sparsity=config.prune_initial_sparsity)
   return algorithms.get_algorithm(name)
+
+
+def predict_update_batches(algo: algorithms.Algorithm, n_batches: int):
+  """Batch indices at which a mask update fires — the schedule is fully
+  deterministic, so snapshots can be arranged host-side without device
+  syncs."""
+  sched = algo.schedule
+  if sched is None:
+    if algo.name == 'snip':
+      return {0}
+    if algo.name == 'dnw':
+      return set(range(n_batches))
+    return set()
+  out = set()
+  step, last = 0, sched.initial_last_update_step
+  for i in range(n_batches):
+    if algo.skip_apply_on_update:
+      if bool(sched.is_update_iter(step, last)):
+        out.add(i)
+        last = step
+      else:
+        step += 1
+    else:
+      step += 1
+      if bool(sched.is_update_iter(step, last)):
+        out.add(i)
+        last = step
+  return out
 
 
 def simulate_step_sequence(algo: algorithms.Algorithm, total_steps: int
@@ -284,11 +316,47 @@ class Trainer:
       writer = MetricsWriter(cfg.checkpoint_dir)
       ckpt_mgr = CheckpointManager(cfg.checkpoint_dir)
 
+    update_batches = (predict_update_batches(self.algo, n_batches)
+                      if cfg.snapshot_mask_updates else set())
+    grad_norm_fn = None
+    pre_mgr = post_mgr = None
+    if update_batches:
+      grad_norm_fn = jax.jit(steps.make_grad_norm_fn(
+          self.model, self.sparse_training, cfg.weight_decay,
+          cfg.label_smoothing))
+      if cfg.checkpoint_dir:
+        from rigl_tpu.train.checkpoint import CheckpointManager
+        pre_mgr = CheckpointManager(
+            os.path.join(cfg.checkpoint_dir, 'pre_update'), max_to_keep=20)
+        post_mgr = CheckpointManager(
+            os.path.join(cfg.checkpoint_dir, 'post_update'), max_to_keep=20)
+
     t0 = time.time()
     last_log_t, last_log_i = t0, 0
     for i in range(n_batches):
       batch = next(it)
+      is_update_batch = i in update_batches
+      if is_update_batch:
+        pre_norm = grad_norm_fn(state, batch)
+        if pre_mgr:
+          pre_mgr.save(i, state)  # keyed by batch index: unique/monotone
       state, metrics = train_step(state, batch)
+      if is_update_batch:
+        post_norm = grad_norm_fn(state, batch)
+        if post_mgr:
+          post_mgr.save(i, state)
+        rec = {
+            'mask_update_grad_norm_pre': float(pre_norm),
+            'mask_update_grad_norm_post': float(post_norm),
+            'mask_update_grad_norm_improvement':
+                float(post_norm) - float(pre_norm),
+            'step': float(state.sparse.step),
+        }
+        self.metrics_history.append(rec)
+        if writer:
+          writer.write(int(state.sparse.step), rec)
+        if progress_fn:
+          progress_fn(rec)
       if cfg.log_every and (i + 1) % cfg.log_every == 0:
         m = {k: float(v) for k, v in metrics.items()}
         now = time.time()
@@ -330,8 +398,9 @@ class Trainer:
         'batches': n_batches,
         'wall_time_s': wall,
         'steps_per_sec': n_batches / max(wall, 1e-9),
-        'final_loss': float(self.metrics_history[-1]['loss'])
-        if self.metrics_history else None,
+        'final_loss': next(
+            (float(m['loss']) for m in reversed(self.metrics_history)
+             if 'loss' in m), None),
         **{f'eval_{k}': v for k, v in final_eval.items()},
     }
     if state.sparse.masks:

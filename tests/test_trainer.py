@@ -108,3 +108,33 @@ def test_eval_top5_geq_top1():
   t.init_state()
   m = t.evaluate()
   assert m['top_5'] >= m['top_1']
+
+
+def test_predict_update_batches():
+  from rigl_tpu.train.trainer import predict_update_batches
+  rigl = algorithms.RigL(schedule=UpdateSchedule(begin_step=2, end_step=-1,
+                                                 frequency=3))
+  # batches: step seq 0,1,2(upd),2,3,4,5(upd),5,...
+  assert predict_update_batches(rigl, 8) == {2, 6}
+  set_algo = algorithms.SET(schedule=UpdateSchedule(begin_step=1, end_step=4,
+                                                    frequency=2))
+  # post-increment steps 1..8; updates at 1 and 3 -> batches 0 and 2.
+  assert predict_update_batches(set_algo, 8) == {0, 2}
+  snip = algorithms.SNIP()
+  assert predict_update_batches(snip, 5) == {0}
+
+
+def test_snapshot_mask_updates(tmp_path):
+  import os
+  from rigl_tpu.utils.metrics import read_metrics
+  cfg = _cfg(training_method='rigl', train_steps=6, maskupdate_frequency=3,
+             maskupdate_begin_step=2, snapshot_mask_updates=True,
+             checkpoint_dir=str(tmp_path / 'out'), log_every=0)
+  t = Trainer(cfg)
+  t.train()
+  recs = read_metrics(str(tmp_path / 'out'))
+  upd = [r for r in recs if 'mask_update_grad_norm_improvement' in r]
+  assert len(upd) == 2  # updates at steps 2 and 5
+  assert all(np.isfinite(r['mask_update_grad_norm_pre']) for r in upd)
+  assert os.path.isdir(str(tmp_path / 'out' / 'pre_update'))
+  assert os.path.isdir(str(tmp_path / 'out' / 'post_update'))
