@@ -6,3 +6,4 @@ from rigl_tpu.layers.masked import (
     dict_to_masks,
     masks_to_dict,
 )
+from rigl_tpu.layers.block_sparse_dense import BlockSparseDense

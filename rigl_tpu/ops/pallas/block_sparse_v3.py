@@ -59,11 +59,21 @@ def _v3_kernel(counts_ref, idx_ref, x_ref, w_hbm, o_ref, w_buf, sems,
   o_ref[:] = acc.astype(o_ref.dtype)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def block_sparse_matmul_v3(x, w, block_mask,
                            block: Tuple[int, int] = (512, 512),
                            bm: int = 512,
                            interpret: Optional[bool] = None):
-  """y = x @ (expanded(block_mask) * w); x VMEM-resident, w gathered."""
+  """y = x @ (expanded(block_mask) * w); x VMEM-resident, w gathered.
+
+  Differentiable: dx runs this kernel with the transposed mask; dw uses the
+  output-masked kernel from block_sparse.py (gradients exist only at active
+  blocks — the trainer's dense path supplies full grads at update steps).
+  """
+  return _v3_impl(x, w, block_mask, block, bm, interpret)
+
+
+def _v3_impl(x, w, block_mask, block, bm, interpret):
   if interpret is None:
     interpret = jax.default_backend() == 'cpu'
   m, kdim = x.shape
@@ -94,6 +104,28 @@ def block_sparse_matmul_v3(x, w, block_mask,
       out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
       interpret=interpret,
   )(counts, idx, x, w)
+
+
+def _v3_fwd(x, w, block_mask, block, bm, interpret):
+  return _v3_impl(x, w, block_mask, block, bm, interpret), (x, w, block_mask)
+
+
+def _v3_bwd(block, bm, interpret, residuals, gy):
+  from rigl_tpu.ops.pallas.block_sparse import _dw_blocksparse, _pad_to
+  x, w, block_mask = residuals
+  if interpret is None:
+    interpret = jax.default_backend() == 'cpu'
+  bk, bn = block
+  dx = _v3_impl(gy, w.T, block_mask.T.astype(jnp.int32), (bn, bk), bm,
+                interpret)
+  gp, _ = _pad_to(gy, bm, 0)
+  xp, _ = _pad_to(x, bm, 0)
+  dw = _dw_blocksparse(xp, gp, block_mask.astype(jnp.int32), block, bm,
+                       w.dtype, interpret)
+  return dx, dw, None
+
+
+block_sparse_matmul_v3.defvjp(_v3_fwd, _v3_bwd)
 
 
 # ---------------------------------------------------------------- control --

@@ -106,3 +106,37 @@ def test_block_sparse_all_blocks_off():
   bmask = jnp.zeros((2, 2), jnp.int32)
   y = block_sparse.block_sparse_matmul(x, w, bmask, (16, 32), 16)
   assert float(jnp.sum(jnp.abs(y))) == 0.0
+
+
+def test_block_sparse_dense_layer():
+  """BlockSparseDense matches MaskedDense given a block-structured mask,
+  forward and gradients (interpret mode on CPU)."""
+  import jax
+  from rigl_tpu.layers import BlockSparseDense, MaskedDense
+
+  block, bm_tile = (16, 32), 16
+  layer = BlockSparseDense(64, block=block, bm=bm_tile, use_bias=True)
+  ref = MaskedDense(64, use_bias=True)
+  x = jnp.asarray(np.random.RandomState(0).randn(8, 32), jnp.float32)
+  variables = layer.init(jax.random.key(0), x)
+  mask = bm_lib.random_block_mask(jax.random.key(1), (32, 64), 0.5, block)
+  variables = {**variables, 'masks': {'kernel': mask}}
+
+  y = layer.apply(variables, x)
+  y_ref = ref.apply(variables, x)
+  np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-5,
+                             atol=1e-4)
+
+  g = jax.grad(lambda v, x: jnp.sum(layer.apply(v, x) ** 2))(variables, x)
+  g_ref = jax.grad(lambda v, x: jnp.sum(ref.apply(v, x) ** 2))(variables, x)
+  np.testing.assert_allclose(
+      np.asarray(g['params']['kernel']),
+      np.asarray(g_ref['params']['kernel']), rtol=1e-4, atol=1e-3)
+
+
+def test_block_sparse_dense_rejects_indivisible():
+  from rigl_tpu.layers import BlockSparseDense
+  import jax
+  layer = BlockSparseDense(60, block=(16, 32))
+  with pytest.raises(ValueError, match='divide block'):
+    layer.init(jax.random.key(0), jnp.ones((4, 32)))
