@@ -32,9 +32,7 @@ def _read_idx(path: str) -> np.ndarray:
   opener = gzip.open if path.endswith('.gz') else open
   with opener(path, 'rb') as f:
     data = f.read()
-  magic, = struct.unpack('>H', data[2:4])
   dtype_code, ndim = data[2], data[3]
-  del magic
   dims = struct.unpack('>' + 'I' * ndim, data[4:4 + 4 * ndim])
   dtype = {8: np.uint8, 9: np.int8, 11: np.int16, 12: np.int32,
            13: np.float32, 14: np.float64}[dtype_code]

@@ -25,13 +25,6 @@ import numpy as np
 from rigl_tpu.sparsity import masks as masks_lib
 
 
-def _iter_eqns(jaxpr):
-  for eqn in jaxpr.eqns:
-    yield eqn
-    for sub in jax.core.subjaxprs(eqn.params.get('jaxpr'), ) if False else []:
-      pass
-
-
 def _collect_compute_eqns(closed_jaxpr) -> List[Tuple[str, tuple, tuple, tuple]]:
   """Walks the jaxpr (incl. sub-jaxprs) collecting matmul/conv ops as
   (kind, lhs_shape, rhs_shape, out_shape)."""
