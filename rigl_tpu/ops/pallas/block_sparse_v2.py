@@ -113,8 +113,8 @@ def block_sparse_matmul_gather(x, w, block_mask,
           num_scalar_prefetch=2,
           grid=(m // bm, n // bn),
           in_specs=[
-              pl.BlockSpec(memory_space=pltpu.ANY),   # x stays in HBM
-              pl.BlockSpec(memory_space=pltpu.ANY),   # w stays in HBM
+              pl.BlockSpec(memory_space=pl.ANY),   # x stays in HBM
+              pl.BlockSpec(memory_space=pl.ANY),   # w stays in HBM
           ],
           out_specs=pl.BlockSpec((bm, bn), lambda i, j, c, ix: (i, j)),
           scratch_shapes=[

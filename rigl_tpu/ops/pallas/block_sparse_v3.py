@@ -93,7 +93,7 @@ def _v3_impl(x, w, block_mask, block, bm, interpret):
           in_specs=[
               # Full x row-panel auto-pipelined to VMEM; constant along j.
               pl.BlockSpec((bm, kdim), lambda i, j, c, ix: (i, 0)),
-              pl.BlockSpec(memory_space=pltpu.ANY),   # w stays in HBM
+              pl.BlockSpec(memory_space=pl.ANY),   # w stays in HBM
           ],
           out_specs=pl.BlockSpec((bm, bn), lambda i, j, c, ix: (i, j)),
           scratch_shapes=[

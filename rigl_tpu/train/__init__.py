@@ -22,3 +22,12 @@ from rigl_tpu.train.trainer import (
     build_optimizer,
     simulate_step_sequence,
 )
+
+from rigl_tpu.train.checkpoint import (
+    CheckpointManager,
+    restore_masks_only,
+    restore_params_only,
+    shuffle_masks,
+)
+from rigl_tpu.train.eval_loop import evaluate_checkpoints
+from rigl_tpu.train.export import export_model, load_for_inference
