@@ -1,0 +1,47 @@
+"""Conv routing onto the block-sparse matmul kernels.
+
+1x1 convolutions ARE matmuls over the channel dims — and they carry most of
+a bottleneck ResNet's prunable parameters (conv1/conv3/projections).  This
+module routes them through the block-sparse Pallas path; 3x3 convs remain
+XLA convs (dense-times-mask) until the im2col block-sparse path lands
+(NEXT.md).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+from rigl_tpu.ops.pallas.block_sparse_v3 import block_sparse_matmul_v3
+
+
+def block_sparse_conv1x1(x: jnp.ndarray, kernel: jnp.ndarray,
+                         block_mask: jnp.ndarray,
+                         stride: int = 1,
+                         block: Tuple[int, int] = (512, 512),
+                         bm: int = 512,
+                         interpret: Optional[bool] = None) -> jnp.ndarray:
+  """NHWC 1x1 conv via the block-skipping matmul.
+
+  Args:
+    x: (N, H, W, Cin).
+    kernel: (1, 1, Cin, Cout) or (Cin, Cout).
+    block_mask: (Cin/bk, Cout/bn).
+    stride: spatial stride (exact for 1x1 kernels: subsample then matmul).
+  """
+  if kernel.ndim == 4:
+    if kernel.shape[:2] != (1, 1):
+      raise ValueError(f'not a 1x1 kernel: {kernel.shape}')
+    kernel = kernel[0, 0]
+  if stride > 1:
+    x = x[:, ::stride, ::stride, :]
+  n, h, w_dim, cin = x.shape
+  cout = kernel.shape[-1]
+  x2d = x.reshape(-1, cin)
+  rows = x2d.shape[0]
+  pad = (-rows) % bm
+  if pad:
+    x2d = jnp.pad(x2d, ((0, pad), (0, 0)))
+  y = block_sparse_matmul_v3(x2d, kernel, block_mask, block, bm, interpret)
+  return y[:rows].reshape(n, h, w_dim, cout)

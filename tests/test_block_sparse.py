@@ -140,3 +140,28 @@ def test_block_sparse_dense_rejects_indivisible():
   layer = BlockSparseDense(60, block=(16, 32))
   with pytest.raises(ValueError, match='divide block'):
     layer.init(jax.random.key(0), jnp.ones((4, 32)))
+
+
+def test_block_sparse_conv1x1():
+  import jax
+  from rigl_tpu.ops.conv import block_sparse_conv1x1
+  rs = np.random.RandomState(0)
+  x = jnp.asarray(rs.randn(2, 8, 8, 32), jnp.float32)
+  kernel = jnp.asarray(rs.randn(1, 1, 32, 64), jnp.float32)
+  block = (16, 32)
+  bmask = jnp.asarray(rs.rand(2, 2) > 0.3, jnp.int32)
+  y = block_sparse_conv1x1(x, kernel, bmask, stride=1, block=block, bm=16)
+  mask_el = bm_lib.expand_from_blocks(bmask.astype(jnp.float32),
+                                      (32, 64), block)
+  y_ref = jax.lax.conv_general_dilated(
+      x, kernel * mask_el[None, None], (1, 1), 'VALID',
+      dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+  np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-4,
+                             atol=1e-4)
+  # Stride 2 subsampling (exact for 1x1).
+  y2 = block_sparse_conv1x1(x, kernel, bmask, stride=2, block=block, bm=16)
+  y2_ref = jax.lax.conv_general_dilated(
+      x, kernel * mask_el[None, None], (2, 2), 'VALID',
+      dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+  np.testing.assert_allclose(np.asarray(y2), np.asarray(y2_ref), rtol=1e-4,
+                             atol=1e-4)
