@@ -6,3 +6,4 @@ from rigl_tpu.rl.networks import ImpalaNet, MLPQNetwork, NatureDQN
 from rigl_tpu.rl.envs import Pendulum
 from rigl_tpu.rl.ppo import PPOConfig, SparsePPO
 from rigl_tpu.rl.sac import SACConfig, SparseSAC
+from rigl_tpu.rl.runner import PhaseRunner

@@ -199,3 +199,18 @@ def test_sparse_sac_pendulum_improves():
   result = agent.train(total_env_steps=12000, log_every=0)
   assert result['episodes'] > 10
   assert result['avg_return'] > -900.0
+
+
+def test_phase_runner():
+  from rigl_tpu.rl.runner import PhaseRunner
+  env = CartPole()
+  cfg = DQNConfig(training_method='set', sparsity=0.5, buffer_capacity=256,
+                  min_replay=32, batch_size=16, learn_every=4,
+                  maskupdate_frequency=20, maskupdate_begin_step=0,
+                  epsilon_decay_steps=200)
+  agent = SparseDQN(MLPQNetwork(env.num_actions, hidden=(16,)), env, cfg)
+  runner = PhaseRunner(agent, num_phases=4, steps_per_phase=100)
+  result = runner.run(seed=0)
+  assert len(result['phases']) == 4
+  assert result['total_episodes'] > 0
+  assert np.isfinite(result['final_score'])
