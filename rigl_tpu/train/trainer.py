@@ -279,11 +279,33 @@ class Trainer:
         input_shape)
     if self.mesh is not None:
       state = jax.device_put(state, mesh_lib.replicated(self.mesh))
+      if cfg.n_model_shards > 1:
+        # Tensor parallelism: large kernels shard their output dim over
+        # 'model'; masks and optimizer slots follow their params so the
+        # drop/grow update runs on co-located shards.
+        spec_tree = mesh_lib.param_sharding(self.mesh, state.params,
+                                            shard_model_axis=True)
+        params = jax.tree.map(jax.device_put, state.params, spec_tree)
+        spec_by_path = masks_lib.select_masked(spec_tree, state.sparse.masks)
+        masks = {p: jax.device_put(m, spec_by_path[p])
+                 for p, m in state.sparse.masks.items()}
+        import optax as _optax
+        opt_state = _optax.tree_map_params(
+            self.sparse_training.tx,
+            lambda slot, spec: jax.device_put(slot, spec),
+            state.opt_state, spec_tree)
+        state = state.replace(params=params, opt_state=opt_state,
+                              sparse=state.sparse.replace(masks=masks))
     self.state = state
     return state
 
   def jitted_train_step(self):
     if self.mesh is None:
+      return jax.jit(self._train_step, donate_argnums=0)
+    if self.config.n_model_shards > 1:
+      # Input placements (sharded params/masks/slots + data-sharded batch)
+      # drive GSPMD propagation; explicit out_shardings would force
+      # resharding against the donated inputs.
       return jax.jit(self._train_step, donate_argnums=0)
     repl = mesh_lib.replicated(self.mesh)
     return jax.jit(

@@ -138,3 +138,20 @@ def test_snapshot_mask_updates(tmp_path):
   assert all(np.isfinite(r['mask_update_grad_norm_pre']) for r in upd)
   assert os.path.isdir(str(tmp_path / 'out' / 'pre_update'))
   assert os.path.isdir(str(tmp_path / 'out' / 'post_update'))
+
+
+def test_tensor_parallel_sharding():
+  """n_model_shards=2 on the 8-device test mesh: large kernels shard over
+  'model', masks/slots co-shard, and training still works end to end."""
+  t = Trainer(_cfg(training_method='rigl', train_steps=6,
+                   maskupdate_frequency=2, n_model_shards=2,
+                   batch_size=32))
+  state = t.init_state()
+  kernel = state.params['params']['layer1']['kernel']   # (784, 300)
+  from jax.sharding import PartitionSpec as P
+  assert kernel.sharding.spec == P(None, 'model')
+  mask = state.sparse.masks['layer1/kernel']
+  assert mask.sharding.spec == P(None, 'model')
+  result = t.train()
+  assert np.isfinite(result['eval_loss'])
+  assert result['global_sparsity'] == pytest.approx(0.8, abs=0.05)
