@@ -85,6 +85,13 @@ class TrainConfig:
   # change the update produced (rigl_tf2/train.py:418-438).  Update steps
   # are predicted host-side from the deterministic schedule.
   snapshot_mask_updates: bool = False
+  # Auto-resume from the latest checkpoint in checkpoint_dir (the reference
+  # Estimator's model_dir behavior / rigl_tf2 train.py:304-313).
+  auto_resume: bool = True
+  # Capture a jax.profiler trace of steps [profile_start, profile_start+n).
+  profile_dir: Optional[str] = None
+  profile_start: int = 10
+  profile_steps: int = 5
 
   # parallelism
   n_model_shards: int = 1
@@ -161,19 +168,23 @@ def build_algorithm(config: TrainConfig) -> algorithms.Algorithm:
   return algorithms.get_algorithm(name)
 
 
-def predict_update_batches(algo: algorithms.Algorithm, n_batches: int):
+def predict_update_batches(algo: algorithms.Algorithm, n_batches: int,
+                           start_step: int = 0,
+                           start_last_update: Optional[int] = None):
   """Batch indices at which a mask update fires — the schedule is fully
   deterministic, so snapshots can be arranged host-side without device
   syncs."""
   sched = algo.schedule
   if sched is None:
     if algo.name == 'snip':
-      return {0}
+      return {0} if start_step == 0 else set()
     if algo.name == 'dnw':
       return set(range(n_batches))
     return set()
   out = set()
-  step, last = 0, sched.initial_last_update_step
+  step = start_step
+  last = (sched.initial_last_update_step if start_last_update is None
+          else start_last_update)
   for i in range(n_batches):
     if algo.skip_apply_on_update:
       if bool(sched.is_update_iter(step, last)):
@@ -189,20 +200,25 @@ def predict_update_batches(algo: algorithms.Algorithm, n_batches: int):
   return out
 
 
-def simulate_step_sequence(algo: algorithms.Algorithm, total_steps: int
-                           ) -> int:
+def simulate_step_sequence(algo: algorithms.Algorithm, total_steps: int,
+                           start_step: int = 0,
+                           start_last_update: Optional[int] = None) -> int:
   """Number of batches needed to reach `total_steps` optimizer steps.
 
   RigL/SNIP consume a batch without advancing the step counter on update
   iterations (the reference's skipped apply_gradients); the schedule is
   fully deterministic, so we precompute the batch count host-side and keep
-  the device loop sync-free.
+  the device loop sync-free.  `start_step`/`start_last_update` support
+  resumption from a checkpoint mid-run.
   """
   if not (algo.skip_apply_on_update and algo.schedule is not None):
-    extra = 1 if algo.name == 'snip' else 0
-    return total_steps + extra
+    extra = 1 if (algo.name == 'snip' and start_step == 0) else 0
+    return max(total_steps - start_step, 0) + extra
   sched = algo.schedule
-  step, last, batches = 0, sched.initial_last_update_step, 0
+  step = start_step
+  last = (sched.initial_last_update_step if start_last_update is None
+          else start_last_update)
+  batches = 0
   while step < total_steps:
     batches += 1
     if bool(sched.is_update_iter(step, last)):
@@ -323,9 +339,20 @@ class Trainer:
     if self.state is None:
       self.init_state()
     state = self.state
+
+    ckpt_mgr0 = None
+    if cfg.checkpoint_dir and cfg.auto_resume:
+      from rigl_tpu.train.checkpoint import CheckpointManager
+      ckpt_mgr0 = CheckpointManager(cfg.checkpoint_dir)
+      if ckpt_mgr0.latest_step() is not None:
+        state = ckpt_mgr0.restore(state)
+        self.state = state
     train_step = self.jitted_train_step()
 
-    n_batches = simulate_step_sequence(self.algo, total_steps)
+    n_batches = simulate_step_sequence(
+        self.algo, total_steps,
+        start_step=int(state.sparse.step),
+        start_last_update=int(state.sparse.last_update_step))
     sharding = (mesh_lib.batch_sharding(self.mesh)
                 if self.mesh is not None else None)
     it = pipeline.prefetch_to_device(self.train_ds.repeat(), size=2,
@@ -336,9 +363,11 @@ class Trainer:
       from rigl_tpu.train.checkpoint import CheckpointManager
       from rigl_tpu.utils.metrics import MetricsWriter
       writer = MetricsWriter(cfg.checkpoint_dir)
-      ckpt_mgr = CheckpointManager(cfg.checkpoint_dir)
+      ckpt_mgr = ckpt_mgr0 or CheckpointManager(cfg.checkpoint_dir)
 
-    update_batches = (predict_update_batches(self.algo, n_batches)
+    update_batches = (predict_update_batches(
+        self.algo, n_batches, start_step=int(state.sparse.step),
+        start_last_update=int(state.sparse.last_update_step))
                       if cfg.snapshot_mask_updates else set())
     grad_norm_fn = None
     pre_mgr = post_mgr = None
@@ -355,7 +384,16 @@ class Trainer:
 
     t0 = time.time()
     last_log_t, last_log_i = t0, 0
+    profiling = False
     for i in range(n_batches):
+      if cfg.profile_dir:
+        if i == cfg.profile_start:
+          jax.profiler.start_trace(cfg.profile_dir)
+          profiling = True
+        elif profiling and i == cfg.profile_start + cfg.profile_steps:
+          jax.block_until_ready(state.params)
+          jax.profiler.stop_trace()
+          profiling = False
       batch = next(it)
       is_update_batch = i in update_batches
       if is_update_batch:
@@ -407,6 +445,9 @@ class Trainer:
           and (i + 1) % cfg.checkpoint_every == 0):
         ckpt_mgr.save(int(state.sparse.step), state)
 
+    if profiling:
+      jax.block_until_ready(state.params)
+      jax.profiler.stop_trace()
     self.state = state
     if ckpt_mgr:
       ckpt_mgr.save(int(state.sparse.step), state, force=True)

@@ -1,0 +1,124 @@
+"""End-to-end block-sparse training benchmark: 3x4096 MLP, full train step
+(fwd + bwd + SGD) through BlockSparseDense vs dense nn.Dense.
+
+Methodology per PERF.md: scan-chained steps with a matched harness floor
+(same scan, trivial body) subtracted, single readback sync.
+
+  python scripts/bench_blocksparse_mlp.py            # on TPU
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from rigl_tpu.layers import BlockSparseDense
+from rigl_tpu.ops.block_mask import random_block_mask
+
+WIDTH = 4096
+DEPTH = 3
+BATCH = 1024
+ITERS = 30
+BLOCK = (512, 512)
+SPARSITY = 0.8
+
+
+class DenseMLP(nn.Module):
+  @nn.compact
+  def __call__(self, x):
+    for i in range(DEPTH):
+      x = nn.Dense(WIDTH, use_bias=False, dtype=jnp.bfloat16,
+                   name=f'd{i}')(x)
+      x = nn.relu(x)
+    return x
+
+
+class BlockSparseMLP(nn.Module):
+  @nn.compact
+  def __call__(self, x):
+    for i in range(DEPTH):
+      x = BlockSparseDense(WIDTH, block=BLOCK, bm=512, use_bias=False,
+                           dtype=jnp.bfloat16, name=f'd{i}')(x)
+      x = nn.relu(x)
+    return x
+
+
+def bench(run, x, label):
+  c = run(x)
+  _ = float(jnp.sum(jnp.isnan(c).astype(jnp.float32)))
+  t = time.perf_counter()
+  c = run(x)
+  _ = float(jnp.sum(jnp.isnan(c).astype(jnp.float32)))
+  dt = (time.perf_counter() - t) / ITERS
+  print(f'{label}: {dt * 1e6:.1f} us/step')
+  return dt
+
+
+def make_train_scan(model, variables, masks=None):
+  tx = optax.sgd(1e-4, momentum=0.9)
+  params = variables['params']
+  opt_state = tx.init(params)
+  target = jnp.zeros((BATCH, WIDTH), jnp.bfloat16)
+
+  def loss_fn(params, x):
+    v = {'params': params}
+    if masks is not None:
+      v['masks'] = masks
+    out = model.apply(v, x)
+    return jnp.mean((out - target).astype(jnp.float32) ** 2)
+
+  @jax.jit
+  def run(x):
+    def body(carry, _):
+      params, opt_state = carry
+      g = jax.grad(loss_fn)(params, x)
+      updates, opt_state = tx.update(g, opt_state, params)
+      params = optax.apply_updates(params, updates)
+      return (params, opt_state), ()
+    (params2, _), _ = jax.lax.scan(body, (params, opt_state), None,
+                                   length=ITERS)
+    return params2[f'd{DEPTH - 1}']['kernel']
+
+  return run
+
+
+def main():
+  rs = np.random.RandomState(0)
+  x = jnp.asarray(rs.randn(BATCH, WIDTH) * 0.01, jnp.bfloat16)
+
+  @jax.jit
+  def floor_run(x):
+    def body(c, _):
+      return c + 1.0, ()
+    c, _ = jax.lax.scan(body, x, None, length=ITERS)
+    return c
+
+  floor = bench(floor_run, x, 'harness floor')
+
+  dense = DenseMLP()
+  dv = dense.init(jax.random.key(0), x)
+  t_dense = bench(make_train_scan(dense, dv), x, 'dense train step')
+
+  sparse = BlockSparseMLP()
+  sv = sparse.init(jax.random.key(0), x)
+  masks = {f'd{i}': {'kernel': random_block_mask(
+      jax.random.fold_in(jax.random.key(1), i), (WIDTH, WIDTH), SPARSITY,
+      BLOCK)} for i in range(DEPTH)}
+  t_sparse = bench(make_train_scan(sparse, sv, masks), x,
+                   f'block-sparse train step (s={SPARSITY})')
+
+  net_d = t_dense - floor
+  net_s = t_sparse - floor
+  print(f'net dense: {net_d * 1e6:.1f} us  net sparse: {net_s * 1e6:.1f} us '
+        f'ratio: {net_s / net_d:.3f} (north star <= 0.6)')
+
+
+if __name__ == '__main__':
+  main()

@@ -155,3 +155,31 @@ def test_tensor_parallel_sharding():
   result = t.train()
   assert np.isfinite(result['eval_loss'])
   assert result['global_sparsity'] == pytest.approx(0.8, abs=0.05)
+
+
+def test_auto_resume_continues_training(tmp_path):
+  cfg = _cfg(training_method='set', train_steps=4, maskupdate_frequency=2,
+             checkpoint_dir=str(tmp_path / 'run'), log_every=0)
+  t1 = Trainer(cfg)
+  t1.train()
+  assert int(t1.state.sparse.step) == 4
+  # Second trainer with a larger target resumes from step 4 and only runs
+  # the remaining batches.
+  cfg2 = _cfg(training_method='set', train_steps=10, maskupdate_frequency=2,
+              checkpoint_dir=str(tmp_path / 'run'), log_every=0)
+  t2 = Trainer(cfg2)
+  result = t2.train()
+  assert int(t2.state.sparse.step) == 10
+  assert result['batches'] == 6  # only the remaining steps
+
+
+def test_auto_resume_rigl_batch_accounting(tmp_path):
+  from rigl_tpu.train.trainer import simulate_step_sequence
+  # Resume mid-schedule: batch count accounts for restored last_update_step.
+  rigl = algorithms.RigL(schedule=UpdateSchedule(begin_step=0, end_step=-1,
+                                                 frequency=3))
+  full = simulate_step_sequence(rigl, 9)
+  first = simulate_step_sequence(rigl, 5)
+  # Continuing from step 5 (last update at 3).
+  rest = simulate_step_sequence(rigl, 9, start_step=5, start_last_update=3)
+  assert first + rest == full
