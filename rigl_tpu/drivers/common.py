@@ -88,3 +88,13 @@ def run_and_report(trainer, output_dir=None):
     with open(os.path.join(output_dir, 'results.json'), 'w') as f:
       json.dump(result, f, indent=2)
   return result
+
+
+def define_block_flags():
+  """Block-granular sparsity flags (the reference reserved these at
+  imagenet_train_eval.py:271-272; realized here)."""
+  flags.DEFINE_integer('block_width', 0, 'mask block columns; 0=element')
+  flags.DEFINE_integer('block_height', 0, 'mask block rows; 0=element')
+  flags.DEFINE_string('mask_type', None,
+                      'structured init: per_neuron|symmetric|'
+                      'per_neuron_no_input_ablation|shuffled|random')

@@ -73,6 +73,12 @@ class TrainConfig:
   grow_init: str = 'zeros'
   initial_acc_scale: float = 0.0
   prune_initial_sparsity: float = 0.0
+  # Block-granular masks (reference's reserved block_width/height flags):
+  # 0 = element-granular.
+  block_width: int = 0
+  block_height: int = 0
+  # Structured mask init ('per_neuron', 'symmetric', ...); None = random.
+  mask_type: Optional[str] = None
 
   # bookkeeping
   seed: int = 0
@@ -259,6 +265,8 @@ class Trainer:
         return False
       return masks_lib.default_mask_rule(path, leaf)
 
+    block = ((cfg.block_height, cfg.block_width)
+             if cfg.block_width > 0 and cfg.block_height > 0 else None)
     self.sparse_training = SparseTraining(
         tx, self.algo,
         distribution=cfg.mask_init_method,
@@ -266,7 +274,9 @@ class Trainer:
         custom_sparsity_map=custom_map,
         erk_power_scale=cfg.erk_power_scale,
         mask_rule=mask_rule,
-        seed=cfg.seed)
+        seed=cfg.seed,
+        block=block,
+        mask_generator=cfg.mask_type)
 
     has_dropout = cfg.model.startswith('vgg') or (
         cfg.model == 'wide_resnet'

@@ -183,3 +183,22 @@ def test_auto_resume_rigl_batch_accounting(tmp_path):
   # Continuing from step 5 (last update at 3).
   rest = simulate_step_sequence(rigl, 9, start_step=5, start_last_update=3)
   assert first + rest == full
+
+
+def test_block_flags_through_config():
+  from rigl_tpu.ops.block_mask import pool_to_blocks
+  t = Trainer(_cfg(training_method='rigl', block_width=4, block_height=4,
+                   mask_init_method='random', sparsity=0.5, train_steps=3))
+  t.init_state()
+  m = t.state.sparse.masks['layer1/kernel']  # 784x300: 4x4 divides
+  blocks = pool_to_blocks(m, (4, 4), 'mean')
+  assert set(np.unique(np.asarray(blocks))) <= {0.0, 1.0}
+
+
+def test_mask_type_through_config():
+  t = Trainer(_cfg(training_method='scratch', mask_type='per_neuron',
+                   sparsity=0.5, train_steps=2, mask_init_method='random'))
+  t.init_state()
+  m = np.asarray(t.state.sparse.masks['layer1/kernel'])
+  fan_ins = m.sum(axis=0)
+  assert len(set(fan_ins.tolist())) == 1
