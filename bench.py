@@ -66,7 +66,7 @@ def main():
     model = registry.create_model('resnet', depth=depth, num_classes=1000,
                                   dtype=jnp.bfloat16)
     algo = (algorithms.RigL(schedule=UpdateSchedule(
-        begin_step=0, end_step=-1, frequency=100, drop_fraction=0.3,
+        begin_step=0, end_step=25000, frequency=100, drop_fraction=0.3,
         drop_fraction_anneal='cosine'))
             if method == 'rigl' else algorithms.DENSE)
     st = SparseTraining(optax.sgd(0.1, momentum=0.9, nesterov=True), algo,

@@ -162,6 +162,20 @@ def create_dataset(name: str, batch_size: int, eval_batch_size: int = 0,
       arrays = load_mnist_arrays(data_dir)
     elif name == 'cifar10':
       arrays = load_cifar10_arrays(data_dir)
+    elif name == 'imagenet':
+      from rigl_tpu.data import imagenet_tfrecord as itfr
+      if itfr.has_tfrecords(data_dir, 'train'):
+        train = itfr.TFRecordImageNet(data_dir, 'train', batch_size,
+                                      is_training=True, seed=seed)
+        eval_split = ('validation'
+                      if itfr.has_tfrecords(data_dir, 'validation')
+                      else 'train')
+        test = itfr.TFRecordImageNet(data_dir, eval_split, eval_batch_size,
+                                     is_training=False)
+        info = {'num_classes': num_classes, 'shape': shape,
+                'num_train': itfr.NUM_TRAIN, 'num_test': itfr.NUM_EVAL,
+                'source': 'tfrecords'}
+        return train, test, info
     if arrays is not None:
       source = 'files'
   if arrays is None:

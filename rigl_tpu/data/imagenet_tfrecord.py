@@ -94,3 +94,47 @@ def imagenet_iterator(data_dir: str, split: str, batch_size: int,
   ds = _build_dataset(data_dir, split, batch_size, is_training, seed)
   for image, label in ds.as_numpy_iterator():
     yield {'image': image, 'label': label}
+
+
+# Standard ImageNet-2012 split sizes.
+NUM_TRAIN = 1281167
+NUM_EVAL = 50000
+
+
+class TFRecordImageNet:
+  """ArrayDataset-compatible adapter over the TFRecord pipeline.
+
+  Yields normalized float32 batches ((x - MEAN_RGB)/STDDEV_RGB, the
+  reference's on-device normalization, imagenet_train_eval.py:502-505).
+  """
+
+  def __init__(self, data_dir: str, split: str, batch_size: int,
+               is_training: bool, seed: int = 0, num_examples: int = 0):
+    self.data_dir = data_dir
+    self.split = split
+    self.batch_size = batch_size
+    self.is_training = is_training
+    self.seed = seed
+    self.num_examples = num_examples or (
+        NUM_TRAIN if is_training else NUM_EVAL)
+
+  def __len__(self):
+    return self.num_examples // self.batch_size
+
+  def _normalize(self, batch):
+    from rigl_tpu.data.datasets import MEAN_RGB, STDDEV_RGB
+    batch['image'] = (batch['image'] - MEAN_RGB) / STDDEV_RGB
+    return batch
+
+  def epoch(self):
+    it = imagenet_iterator(self.data_dir, self.split, self.batch_size,
+                           is_training=False, seed=self.seed)
+    for batch in it:
+      yield self._normalize(batch)
+
+  def repeat(self):
+    # The training pipeline repeats internally (shuffle+repeat).
+    it = imagenet_iterator(self.data_dir, self.split, self.batch_size,
+                           is_training=self.is_training, seed=self.seed)
+    for batch in it:
+      yield self._normalize(batch)

@@ -72,8 +72,9 @@ def prefetch_to_device(it: Iterator[Batch], size: int = 2,
         else:
           batch = jax.device_put(batch)
         q.put(batch)
-    finally:
       q.put(_SENTINEL)
+    except BaseException as e:  # re-raised in the consumer
+      q.put(e)
 
   t = threading.Thread(target=producer, daemon=True)
   t.start()
@@ -81,6 +82,8 @@ def prefetch_to_device(it: Iterator[Batch], size: int = 2,
     item = q.get()
     if item is _SENTINEL:
       return
+    if isinstance(item, BaseException):
+      raise item
     yield item
 
 
@@ -93,9 +96,10 @@ def pad_crop_flip(pad: int = 4):
   def fn(batch: Batch, rng: np.random.Generator) -> Batch:
     imgs = batch['image']
     n, h, w, c = imgs.shape
-    # Reflect-pad with border pixels (mirror), as in pad_input.
+    # Mirror-pad including the border pixel (x[:pad][::-1] in the
+    # reference's pad_input) == np.pad mode='symmetric'.
     padded = np.pad(imgs, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
-                    mode='reflect')
+                    mode='symmetric')
     out = np.empty_like(imgs)
     ys = rng.integers(0, 2 * pad + 1, size=n)
     xs = rng.integers(0, 2 * pad + 1, size=n)

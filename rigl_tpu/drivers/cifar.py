@@ -15,7 +15,8 @@ from rigl_tpu.drivers import common
 FLAGS = flags.FLAGS
 common.define_common_flags(default_method='rigl', default_sparsity=0.9,
                            default_steps=97656, default_batch=128,
-                           default_frequency=100)
+                           default_frequency=100, default_end_step=75000,
+                           default_weight_decay=5e-4)
 flags.DEFINE_integer('resnet_depth', 22, 'WRN depth (6n+4)')
 flags.DEFINE_integer('resnet_width', 2, 'WRN width multiplier')
 
@@ -27,7 +28,6 @@ def main(argv):
       model_kwargs=dict(depth=FLAGS.resnet_depth, width=FLAGS.resnet_width),
       dataset='cifar10',
       lr_schedule='cifar',
-      weight_decay=FLAGS.weight_decay or 5e-4,
   )
   from rigl_tpu.train.trainer import Trainer
   return common.run_and_report(Trainer(cfg), FLAGS.output_dir)

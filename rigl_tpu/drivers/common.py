@@ -14,7 +14,10 @@ FLAGS = flags.FLAGS
 
 def define_common_flags(default_method='rigl', default_sparsity=0.9,
                         default_steps=1000, default_batch=128,
-                        default_frequency=100):
+                        default_frequency=100, default_end_step=25000,
+                        default_anneal='constant', default_lr=0.1,
+                        default_weight_decay=0.0,
+                        default_label_smoothing=0.0):
   flags.DEFINE_string('training_method', default_method,
                       'rigl|set|static|momentum|snip|dnw|prune|scratch|none')
   flags.DEFINE_float('end_sparsity', default_sparsity, 'target sparsity')
@@ -22,10 +25,13 @@ def define_common_flags(default_method='rigl', default_sparsity=0.9,
                       'random|erdos_renyi|erdos_renyi_kernel|str')
   flags.DEFINE_float('erk_power_scale', 1.0, 'ERK softening exponent')
   flags.DEFINE_integer('maskupdate_begin_step', 0, '')
-  flags.DEFINE_integer('maskupdate_end_step', -1, '')
+  flags.DEFINE_integer('maskupdate_end_step', default_end_step,
+                       'last mask-update step; must be > begin for '
+                       'cosine/exponential anneals; -1 = forever '
+                       '(constant anneal only)')
   flags.DEFINE_integer('maskupdate_frequency', default_frequency, '')
   flags.DEFINE_float('drop_fraction', 0.3, '')
-  flags.DEFINE_string('drop_fraction_anneal', 'cosine',
+  flags.DEFINE_string('drop_fraction_anneal', default_anneal,
                       'constant|cosine|exponential_<p>')
   flags.DEFINE_string('grow_init', 'zeros', '')
   flags.DEFINE_float('initial_acc_scale', 0.0, '')
@@ -33,10 +39,10 @@ def define_common_flags(default_method='rigl', default_sparsity=0.9,
   flags.DEFINE_float('training_steps_multiplier', 1.0,
                      'extended training (5x-100x runs)')
   flags.DEFINE_integer('batch_size', default_batch, '')
-  flags.DEFINE_float('learning_rate', 0.1, '')
+  flags.DEFINE_float('learning_rate', default_lr, '')
   flags.DEFINE_float('momentum', 0.9, '')
-  flags.DEFINE_float('weight_decay', 0.0, '')
-  flags.DEFINE_float('label_smoothing', 0.0, '')
+  flags.DEFINE_float('weight_decay', default_weight_decay, '')
+  flags.DEFINE_float('label_smoothing', default_label_smoothing, '')
   flags.DEFINE_integer('seed', 0, '')
   flags.DEFINE_string('data_dir', None, 'raw dataset dir (synthetic if unset)')
   flags.DEFINE_string('output_dir', None, 'checkpoints + metrics')

@@ -17,7 +17,9 @@ from rigl_tpu.drivers import common
 FLAGS = flags.FLAGS
 common.define_common_flags(default_method='rigl', default_sparsity=0.8,
                            default_steps=112590, default_batch=1024,
-                           default_frequency=100)
+                           default_frequency=100, default_end_step=25000,
+                           default_weight_decay=1e-4,
+                           default_label_smoothing=0.1)
 flags.DEFINE_string('model_architecture', 'resnet',
                     'resnet|mobilenet_v1|mobilenet_v2|vgg_16|vgg_19|vgg_a')
 flags.DEFINE_integer('resnet_depth', 50, '')
@@ -60,8 +62,6 @@ def main(argv):
       model_kwargs=mkw,
       dataset='imagenet',
       lr_schedule='imagenet',
-      weight_decay=FLAGS.weight_decay or 1e-4,
-      label_smoothing=FLAGS.label_smoothing or 0.1,
       custom_sparsity_map=custom_map,
       n_model_shards=FLAGS.n_model_shards,
   )

@@ -18,7 +18,8 @@ from rigl_tpu.models.mlp import MnistMLP
 FLAGS = flags.FLAGS
 common.define_common_flags(default_method='rigl', default_sparsity=0.98,
                            default_steps=40000, default_batch=100,
-                           default_frequency=100)
+                           default_frequency=100, default_end_step=50000,
+                           default_anneal='cosine', default_lr=0.2)
 flags.DEFINE_float('sparsity_scale', 0.9,
                    'layer2 sparsity = end_sparsity * scale '
                    '(mnist_train_eval.py:269-272)')
@@ -33,9 +34,7 @@ def main(argv):
   cfg = common.config_from_flags(
       model='mnist_mlp', dataset='mnist',
       custom_sparsity_map=cmap,
-      lr_schedule='mnist',
-      base_learning_rate=0.2 if FLAGS.learning_rate == 0.1
-      else FLAGS.learning_rate)
+      lr_schedule='mnist')
   from rigl_tpu.train.trainer import Trainer
   trainer = Trainer(cfg)
 
@@ -43,13 +42,13 @@ def main(argv):
   if FLAGS.record_masks:
     orig_train = trainer.train
 
-    def train_with_records(**kw):
+    def train_with_records(progress_fn=None, **kw):
       def record(m):
         if trainer.state is not None and trainer.state.sparse.masks:
           mask_records.append({
               k: np.asarray(v) for k, v in trainer.state.sparse.masks.items()
           })
-        print(m)
+        (progress_fn or print)(m)
 
       return orig_train(progress_fn=record, **kw)
 

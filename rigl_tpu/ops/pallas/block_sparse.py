@@ -159,6 +159,11 @@ def block_sparse_matmul(x, w, block_mask, block: Tuple[int, int] = (128, 128),
 
 def _fwd(x, w, block_mask, block, bm, interpret):
   interpret = _is_cpu() if interpret is None else interpret
+  kdim, n = w.shape
+  bk, bn = block
+  if kdim % bk or n % bn:
+    raise ValueError(
+        f'w shape ({kdim},{n}) must divide block {block}; pad upstream')
   block_mask = block_mask.astype(jnp.int32)
   xp, m0 = _pad_to(x, bm, 0)
   y = _matmul_blocksparse(xp, w, block_mask, block, bm, x.dtype, interpret)

@@ -59,6 +59,16 @@ class UpdateSchedule:
         and not self.drop_fraction_anneal.startswith('exponential')):
       raise ValueError(
           'drop_fraction_anneal: %s is not valid' % self.drop_fraction_anneal)
+    if (self.drop_fraction_anneal == 'cosine'
+        or self.drop_fraction_anneal.startswith('exponential')):
+      # These anneal over [begin, end]; with end_step <= begin_step the
+      # cosine silently degenerates to drop_fraction == 0 (masks never
+      # change) and the exponential to > initial — fail loudly instead.
+      if self.end_step <= self.begin_step:
+        raise ValueError(
+            f"drop_fraction_anneal={self.drop_fraction_anneal!r} needs "
+            f"end_step > begin_step (got begin={self.begin_step}, "
+            f"end={self.end_step}); use end_step > 0 or anneal='constant'")
 
   @property
   def initial_last_update_step(self) -> int:

@@ -66,10 +66,11 @@ class TrainConfig:
   custom_sparsity_map: Dict[str, float] = dataclasses.field(
       default_factory=dict)
   maskupdate_begin_step: int = 0
-  maskupdate_end_step: int = -1
+  maskupdate_end_step: int = 25000   # reference imagenet default; anneals
+                                     # require a positive end_step
   maskupdate_frequency: int = 100
   drop_fraction: float = 0.3
-  drop_fraction_anneal: str = 'cosine'
+  drop_fraction_anneal: str = 'constant'
   grow_init: str = 'zeros'
   initial_acc_scale: float = 0.0
   prune_initial_sparsity: float = 0.0
@@ -295,6 +296,7 @@ class Trainer:
 
     self.state: Optional[TrainState] = None
     self.metrics_history: List[Dict[str, float]] = []
+    self._eval_step_jit = None
 
   # ------------------------------------------------------------------------
   def init_state(self) -> TrainState:
@@ -411,6 +413,9 @@ class Trainer:
         if pre_mgr:
           pre_mgr.save(i, state)  # keyed by batch index: unique/monotone
       state, metrics = train_step(state, batch)
+      # Keep self.state live: the input state's buffers are donated, and
+      # progress callbacks (e.g. mask recording) read trainer.state.
+      self.state = state
       if is_update_batch:
         post_norm = grad_norm_fn(state, batch)
         if post_mgr:
@@ -484,7 +489,9 @@ class Trainer:
   # ------------------------------------------------------------------------
   def evaluate(self, state: Optional[TrainState] = None) -> Dict[str, float]:
     state = state if state is not None else self.state
-    eval_step = jax.jit(self._eval_step)
+    if self._eval_step_jit is None:
+      self._eval_step_jit = jax.jit(self._eval_step)
+    eval_step = self._eval_step_jit
     totals: Dict[str, float] = {}
     count = 0.0
     for batch in self.eval_ds.epoch():

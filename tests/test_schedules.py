@@ -107,3 +107,17 @@ def test_traced_inputs():
   assert bool(is_it)
   assert float(df) == pytest.approx(0.3)
   assert not bool(f(jnp.int32(99), jnp.int32(0))[0])
+
+
+def test_annealed_schedules_require_positive_end():
+  """Cosine/exponential with end<=begin would silently zero the drop
+  fraction (code-review finding); must raise instead."""
+  with pytest.raises(ValueError, match='end_step > begin_step'):
+    schedules.UpdateSchedule(begin_step=0, end_step=-1,
+                             drop_fraction_anneal='cosine')
+  with pytest.raises(ValueError, match='end_step > begin_step'):
+    schedules.UpdateSchedule(begin_step=100, end_step=100,
+                             drop_fraction_anneal='exponential_2')
+  # constant is fine with end=-1 (update forever).
+  schedules.UpdateSchedule(begin_step=0, end_step=-1,
+                           drop_fraction_anneal='constant')
