@@ -45,3 +45,51 @@ def block_sparse_conv1x1(x: jnp.ndarray, kernel: jnp.ndarray,
     x2d = jnp.pad(x2d, ((0, pad), (0, 0)))
   y = block_sparse_matmul_v3(x2d, kernel, block_mask, block, bm, interpret)
   return y[:rows].reshape(n, h, w_dim, cout)
+
+
+def block_sparse_conv2d(x: jnp.ndarray, kernel: jnp.ndarray,
+                        block_mask: jnp.ndarray,
+                        stride: int = 1,
+                        padding: str = 'SAME',
+                        block: Tuple[int, int] = (512, 512),
+                        bm: int = 512,
+                        interpret: Optional[bool] = None) -> jnp.ndarray:
+  """General NHWC conv via patch extraction + block-sparse matmul.
+
+  The kernel's 2D matmul view is (kh*kw*cin, cout) — exactly the view
+  rigl_tpu.ops.block_mask uses for block pooling, so `block_mask` from a
+  blockwise-trained conv layer plugs in directly.  Patch extraction
+  (im2col) costs kh*kw x activation memory; profitable when the layer's
+  density is low enough that the skipped matmul work dominates (NEXT.md #2
+  tracks measuring the crossover on TPU).
+
+  NOTE on block layout: patches arrive feature-ordered (Cin, kh, kw), so
+  `block_mask` must tile THAT row order. A mask trained blockwise on the
+  (kh, kw, Cin) flattening does not stay block-structured after the
+  reorder — conv layers intended for this execution path should train
+  their blocks in (Cin, kh, kw) order (NEXT.md #2).
+
+  Args:
+    x: (N, H, W, Cin).
+    kernel: (kh, kw, Cin, Cout).
+    block_mask: (kh*kw*Cin/bk, Cout/bn) over (Cin, kh, kw)-ordered rows.
+  """
+  import jax.lax as lax
+  kh, kw, cin, cout = kernel.shape
+  if kh == 1 and kw == 1:
+    return block_sparse_conv1x1(x, kernel, block_mask, stride, block, bm,
+                                interpret)
+  patches = lax.conv_general_dilated_patches(
+      x, (kh, kw), (stride, stride), padding,
+      dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+  n, oh, ow, patch_dim = patches.shape
+  # conv_general_dilated_patches emits features ordered (Cin, kh, kw);
+  # reorder the kernel's (kh, kw, Cin) rows to match.
+  k2d = jnp.transpose(kernel, (2, 0, 1, 3)).reshape(patch_dim, cout)
+  x2d = patches.reshape(-1, patch_dim)
+  rows = x2d.shape[0]
+  pad = (-rows) % bm
+  if pad:
+    x2d = jnp.pad(x2d, ((0, pad), (0, 0)))
+  y = block_sparse_matmul_v3(x2d, k2d, block_mask, block, bm, interpret)
+  return y[:rows].reshape(n, oh, ow, cout)

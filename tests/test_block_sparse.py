@@ -165,3 +165,47 @@ def test_block_sparse_conv1x1():
       dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
   np.testing.assert_allclose(np.asarray(y2), np.asarray(y2_ref), rtol=1e-4,
                              atol=1e-4)
+
+
+def test_block_sparse_conv2d_3x3():
+  """3x3 conv via patches + block-sparse matmul matches the dense conv.
+
+  Note: the block mask here lives in the patch-feature ordering
+  (Cin, kh, kw) emitted by conv_general_dilated_patches."""
+  import jax
+  from rigl_tpu.ops.conv import block_sparse_conv2d
+  rs = np.random.RandomState(0)
+  x = jnp.asarray(rs.randn(2, 8, 8, 8), jnp.float32)
+  kernel = jnp.asarray(rs.randn(3, 3, 8, 32) * 0.1, jnp.float32)
+  block, bm_tile = (24, 16), 16   # 72 patch rows / 24 = 3 blocks
+  bmask = jnp.asarray(rs.rand(3, 2) > 0.3, jnp.int32)
+  y = block_sparse_conv2d(x, kernel, bmask, stride=1, padding='SAME',
+                          block=block, bm=bm_tile)
+  # Reference: expand the block mask in patch order (Cin, kh, kw), apply to
+  # the reordered kernel, dense conv.
+  mask_el = bm_lib.expand_from_blocks(bmask.astype(jnp.float32),
+                                      (72, 32), block)
+  k2d = jnp.transpose(kernel, (2, 0, 1, 3)).reshape(72, 32) * mask_el
+  k_masked = jnp.transpose(k2d.reshape(8, 3, 3, 32), (1, 2, 0, 3))
+  y_ref = jax.lax.conv_general_dilated(
+      x, k_masked, (1, 1), 'SAME',
+      dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+  np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-4,
+                             atol=1e-4)
+
+
+def test_block_sparse_conv2d_stride2():
+  import jax
+  from rigl_tpu.ops.conv import block_sparse_conv2d
+  rs = np.random.RandomState(1)
+  x = jnp.asarray(rs.randn(1, 8, 8, 8), jnp.float32)
+  kernel = jnp.asarray(rs.randn(3, 3, 8, 16) * 0.1, jnp.float32)
+  bmask = jnp.ones((3, 1), jnp.int32)
+  y = block_sparse_conv2d(x, kernel, bmask, stride=2, padding='SAME',
+                          block=(24, 16), bm=16)
+  y_ref = jax.lax.conv_general_dilated(
+      x, kernel, (2, 2), 'SAME',
+      dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+  assert y.shape == y_ref.shape == (1, 4, 4, 16)
+  np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-4,
+                             atol=1e-4)
