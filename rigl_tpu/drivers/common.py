@@ -104,3 +104,14 @@ def define_block_flags():
   flags.DEFINE_string('mask_type', None,
                       'structured init: per_neuron|symmetric|'
                       'per_neuron_no_input_ablation|shuffled|random')
+
+
+def define_surgery_flags():
+  """Cross-experiment checkpoint surgery flags (imagenet flags :256-261,
+  rigl_tf2 mask shuffling)."""
+  flags.DEFINE_string('init_masks_from', None,
+                      'checkpoint dir to load masks (topology) from')
+  flags.DEFINE_string('init_params_from', None,
+                      'checkpoint dir to load params from (lottery-style)')
+  flags.DEFINE_bool('shuffle_loaded_masks', False,
+                    'shuffle loaded masks per layer (control experiment)')

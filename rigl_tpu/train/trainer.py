@@ -95,6 +95,13 @@ class TrainConfig:
   # Auto-resume from the latest checkpoint in checkpoint_dir (the reference
   # Estimator's model_dir behavior / rigl_tf2 train.py:304-313).
   auto_resume: bool = True
+  # Cross-experiment surgery (imagenet_resnet/utils.py:93-125, flags
+  # :256-261): initialize masks and/or params from another run's checkpoint.
+  init_masks_from: Optional[str] = None
+  init_params_from: Optional[str] = None
+  # Shuffle loaded masks per layer, preserving sparsity — the mask-shuffling
+  # control experiment (rigl_tf2/utils.py:126-128).
+  shuffle_loaded_masks: bool = False
   # Capture a jax.profiler trace of steps [profile_start, profile_start+n).
   profile_dir: Optional[str] = None
   profile_start: int = 10
@@ -324,6 +331,21 @@ class Trainer:
             state.opt_state, spec_tree)
         state = state.replace(params=params, opt_state=opt_state,
                               sparse=state.sparse.replace(masks=masks))
+    if cfg.init_masks_from or cfg.init_params_from:
+      from rigl_tpu.train.checkpoint import (
+          CheckpointManager, restore_masks_only, restore_params_only,
+          shuffle_masks)
+      for path, surgery in ((cfg.init_masks_from, restore_masks_only),
+                            (cfg.init_params_from, restore_params_only)):
+        if path:
+          mgr = CheckpointManager(path)
+          other = mgr.restore(state)
+          mgr.close()
+          state = surgery(state, other)
+      if cfg.shuffle_loaded_masks and state.sparse.masks:
+        state = state.replace(sparse=state.sparse.replace(
+            masks=shuffle_masks(jax.random.key(cfg.seed + 7),
+                                state.sparse.masks)))
     self.state = state
     return state
 

@@ -202,3 +202,34 @@ def test_mask_type_through_config():
   m = np.asarray(t.state.sparse.masks['layer1/kernel'])
   fan_ins = m.sum(axis=0)
   assert len(set(fan_ins.tolist())) == 1
+
+
+def test_init_masks_from_other_run(tmp_path):
+  """Topology transfer: train run A, start run B with A's masks but fresh
+  params (imagenet utils mask-suffix restore parity)."""
+  cfg_a = _cfg(training_method='set', train_steps=4, maskupdate_frequency=2,
+               checkpoint_dir=str(tmp_path / 'a'), log_every=0)
+  ta = Trainer(cfg_a)
+  ta.train()
+  masks_a = np.asarray(ta.state.sparse.masks['layer1/kernel'])
+
+  cfg_b = _cfg(training_method='static', train_steps=2, seed=5,
+               init_masks_from=str(tmp_path / 'a'))
+  tb = Trainer(cfg_b)
+  state = tb.init_state()
+  np.testing.assert_array_equal(
+      np.asarray(state.sparse.masks['layer1/kernel']), masks_a)
+  # Params are fresh (different seed, not A's).
+  assert not np.array_equal(
+      np.asarray(state.params['params']['layer1']['kernel']),
+      np.asarray(ta.state.params['params']['layer1']['kernel']))
+
+  # Shuffled-mask control: same sparsity, different layout.
+  cfg_c = _cfg(training_method='static', train_steps=2, seed=5,
+               init_masks_from=str(tmp_path / 'a'),
+               shuffle_loaded_masks=True)
+  tc = Trainer(cfg_c)
+  sc = tc.init_state()
+  mc = np.asarray(sc.sparse.masks['layer1/kernel'])
+  assert mc.sum() == masks_a.sum()
+  assert not np.array_equal(mc, masks_a)
