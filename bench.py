@@ -61,21 +61,30 @@ def main():
   iters = int(os.environ.get('BENCH_ITERS', 20 if on_tpu else 3))
   warmup = int(os.environ.get('BENCH_WARMUP', 5 if on_tpu else 1))
   depth = int(os.environ.get('BENCH_DEPTH', 50))
+  # BENCH_BLOCK="128,128" -> block-granular masks + block-skipping execution
+  # of eligible 1x1 convs in the sparse arm (models/common.py _BlockConv).
+  block_env = os.environ.get('BENCH_BLOCK', '')
+  block = tuple(int(v) for v in block_env.split(',')) if block_env else None
+  block_bm = int(os.environ.get('BENCH_BLOCK_BM', 512))
+  block_conv3x3 = bool(int(os.environ.get('BENCH_BLOCK_CONV3X3', '0')))
 
   def make(method):
+    use_block = block if method == 'rigl' else None
     model = registry.create_model('resnet', depth=depth, num_classes=1000,
-                                  dtype=jnp.bfloat16)
+                                  dtype=jnp.bfloat16, block=use_block,
+                                  block_bm=block_bm)
     algo = (algorithms.RigL(schedule=UpdateSchedule(
         begin_step=0, end_step=25000, frequency=100, drop_fraction=0.3,
         drop_fraction_anneal='cosine'))
             if method == 'rigl' else algorithms.DENSE)
     st = SparseTraining(optax.sgd(0.1, momentum=0.9, nesterov=True), algo,
                         distribution='erdos_renyi_kernel',
-                        default_sparsity=0.8)
+                        default_sparsity=0.8, block=use_block)
     state = steps.init_train_state(jax.random.key(0), model, st,
                                    (batch, image, image, 3))
     fn = steps.make_train_step(model, st, weight_decay=1e-4,
-                               label_smoothing=0.1)
+                               label_smoothing=0.1, block=use_block,
+                               block_conv3x3=block_conv3x3)
     return fn, state
 
   rng = np.random.default_rng(0)
@@ -100,7 +109,7 @@ def main():
       'vs_baseline': round(dense_time / sparse_time, 4),
   }
   print(json.dumps(result))
-  print(f'# backend={backend} batch={batch} image={image} '
+  print(f'# backend={backend} batch={batch} image={image} block={block} '
         f'sparse_step={sparse_time * 1e3:.2f}ms '
         f'dense_step={dense_time * 1e3:.2f}ms', file=sys.stderr)
 

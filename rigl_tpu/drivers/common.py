@@ -104,6 +104,11 @@ def define_block_flags():
   flags.DEFINE_string('mask_type', None,
                       'structured init: per_neuron|symmetric|'
                       'per_neuron_no_input_ablation|shuffled|random')
+  flags.DEFINE_bool('block_execution', False,
+                    'execute eligible convs through the block-skipping '
+                    'Pallas matmul (requires block_width/height)')
+  flags.DEFINE_bool('block_conv3x3', False,
+                    'extend block execution to spatial convs via im2col')
 
 
 def define_surgery_flags():

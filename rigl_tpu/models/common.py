@@ -10,6 +10,7 @@ from __future__ import annotations
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 # Reference BN hyperparams: imagenet_resnet/resnet_model.py:37-38.
@@ -59,14 +60,71 @@ def fixed_padding(x: jnp.ndarray, kernel_size: int) -> jnp.ndarray:
   return jnp.pad(x, [(0, 0), (pad_beg, pad_end), (pad_beg, pad_end), (0, 0)])
 
 
+class _BlockConv(nn.Module):
+  """Conv core that can execute through the block-sparse Pallas matmul.
+
+  Drop-in replacement for the inner ``nn.Conv`` (same module name 'conv',
+  same 'kernel' param shape/init, so param trees and checkpoints are
+  identical).  Execution is chosen per call: if the caller supplied a
+  'block_masks' collection entry for this layer (see
+  ops/block_mask.py::block_mask_collection), a 1x1 kernel runs as the
+  block-skipping matmul — inactive weight blocks cost neither HBM DMA nor
+  MXU work.  Otherwise it is a plain XLA conv (dense-times-mask execution,
+  the masked-weight semantics of the reference's masked_conv2d).
+  """
+  features: int
+  kernel_size: int
+  strides: int
+  padding: str
+  dtype: Dtype = jnp.float32
+  use_bias: bool = False
+  kernel_init: Callable = conv_kernel_init()
+  block: Optional[Tuple[int, int]] = None
+  block_bm: int = 512
+
+  @nn.compact
+  def __call__(self, x):
+    in_features = x.shape[-1]
+    k = self.kernel_size
+    kernel = self.param('kernel', self.kernel_init,
+                        (k, k, in_features, self.features))
+    x = x.astype(self.dtype)
+    kernel = kernel.astype(self.dtype)
+    block_mask = self.get_variable('block_masks', 'kernel', None)
+    if block_mask is not None and self.block is not None:
+      from rigl_tpu.ops import conv as bs_conv
+      # 1x1 routes straight to the matmul; spatial kernels go through
+      # im2col patches (entries for them only exist when the collection
+      # builder was asked for conv3x3 execution).
+      y = bs_conv.block_sparse_conv2d(
+          x, kernel, jax.lax.stop_gradient(block_mask),
+          stride=self.strides, padding=self.padding, block=self.block,
+          bm=self.block_bm)
+    else:
+      y = jax.lax.conv_general_dilated(
+          x, kernel, (self.strides, self.strides), self.padding,
+          dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    if self.use_bias:
+      y = y + self.param('bias', nn.initializers.zeros,
+                         (self.features,)).astype(self.dtype)
+    return y
+
+
 class ConvFixedPad(nn.Module):
-  """Conv with the reference's fixed padding for strided convs."""
+  """Conv with the reference's fixed padding for strided convs.
+
+  `block`: optional (rows, cols) block shape enabling block-sparse
+  execution for 1x1 kernels when the caller provides a 'block_masks'
+  collection (models stay bit-identical in params either way).
+  """
   features: int
   kernel_size: int
   strides: int = 1
   dtype: Dtype = jnp.float32
   use_bias: bool = False
   kernel_init: Callable = conv_kernel_init()
+  block: Optional[Tuple[int, int]] = None
+  block_bm: int = 512
 
   @nn.compact
   def __call__(self, x):
@@ -75,6 +133,12 @@ class ConvFixedPad(nn.Module):
       padding = 'VALID'
     else:
       padding = 'SAME'
+    if self.block is not None:
+      return _BlockConv(
+          self.features, self.kernel_size, self.strides, padding,
+          dtype=self.dtype, use_bias=self.use_bias,
+          kernel_init=self.kernel_init, block=self.block,
+          block_bm=self.block_bm, name='conv')(x)
     return nn.Conv(
         self.features, (self.kernel_size, self.kernel_size),
         strides=(self.strides, self.strides),

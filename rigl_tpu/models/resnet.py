@@ -31,13 +31,16 @@ class _ResidualBlock(nn.Module):
   stride: int
   use_projection: bool
   dtype: Any = jnp.float32
+  block: Any = None
+  block_bm: int = 512
 
   @nn.compact
   def __call__(self, x, train: bool):
     shortcut = x
     if self.use_projection:
       shortcut = common.ConvFixedPad(self.features, 1, self.stride,
-                                     dtype=self.dtype, name='proj')(x)
+                                     dtype=self.dtype, block=self.block,
+                                     block_bm=self.block_bm, name='proj')(x)
       shortcut = common.batch_norm(train, dtype=self.dtype,
                                    name='proj_bn')(shortcut)
     y = common.ConvFixedPad(self.features, 3, self.stride, dtype=self.dtype,
@@ -60,6 +63,8 @@ class _BottleneckBlock(nn.Module):
   stride: int
   use_projection: bool
   dtype: Any = jnp.float32
+  block: Any = None
+  block_bm: int = 512
 
   @nn.compact
   def __call__(self, x, train: bool):
@@ -67,10 +72,12 @@ class _BottleneckBlock(nn.Module):
     shortcut = x
     if self.use_projection:
       shortcut = common.ConvFixedPad(out_features, 1, self.stride,
-                                     dtype=self.dtype, name='proj')(x)
+                                     dtype=self.dtype, block=self.block,
+                                     block_bm=self.block_bm, name='proj')(x)
       shortcut = common.batch_norm(train, dtype=self.dtype,
                                    name='proj_bn')(shortcut)
     y = common.ConvFixedPad(self.features, 1, 1, dtype=self.dtype,
+                            block=self.block, block_bm=self.block_bm,
                             name='conv1')(x)
     y = common.batch_norm(train, dtype=self.dtype, name='bn1')(y)
     y = nn.relu(y)
@@ -79,6 +86,7 @@ class _BottleneckBlock(nn.Module):
     y = common.batch_norm(train, dtype=self.dtype, name='bn2')(y)
     y = nn.relu(y)
     y = common.ConvFixedPad(out_features, 1, 1, dtype=self.dtype,
+                            block=self.block, block_bm=self.block_bm,
                             name='conv3')(y)
     y = common.batch_norm(train, dtype=self.dtype, name='bn3',
                           scale_init=nn.initializers.zeros)(y)
@@ -87,11 +95,21 @@ class _BottleneckBlock(nn.Module):
 
 class ResNet(nn.Module):
   """ResNet v1.  `width` scales every group's channel count
-  (resnet_model.py width_multiplier)."""
+  (resnet_model.py width_multiplier).
+
+  `block`: optional (rows, cols) block-sparsity shape.  When set AND the
+  caller provides a 'block_masks' collection (ops/block_mask.py), 1x1 convs
+  whose channel dims the block divides execute through the block-skipping
+  Pallas matmul instead of dense-times-mask — the executable-sparsity path
+  the reference reserved flags for but never built
+  (imagenet_train_eval.py:271-272).  Params are identical either way.
+  """
   depth: int = 50
   num_classes: int = 1000
   width: float = 1.0
   dtype: Any = jnp.float32
+  block: Any = None
+  block_bm: int = 512
 
   @nn.compact
   def __call__(self, x, train: bool = False):
@@ -113,6 +131,7 @@ class ResNet(nn.Module):
       for i in range(n_blocks):
         stride = 2 if (group > 0 and i == 0) else 1
         x = block(feats, stride, use_projection=(i == 0), dtype=self.dtype,
+                  block=self.block, block_bm=self.block_bm,
                   name=f'group{group + 1}_block{i}')(x, train)
 
     x = jnp.mean(x, axis=(1, 2))

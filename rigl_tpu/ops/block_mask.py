@@ -27,12 +27,30 @@ def block_shape_for(shape: Tuple[int, ...],
                     block: Tuple[int, int]) -> Tuple[int, int]:
   """Maps an ND kernel shape to its 2D matmul view (rows=inputs, cols=outputs).
 
-  Conv kernels (kh, kw, cin, cout) flatten to (kh*kw*cin, cout) — the shape
-  the MXU actually multiplies after im2col.
+  Conv kernels (kh, kw, cin, cout) flatten to (cin*kh*kw, cout) — the
+  im2col row order the conv-as-matmul actually consumes
+  (lax.conv_general_dilated_patches emits features ordered (cin, kh, kw)),
+  so trained block structure is directly executable by ops/conv.py.
   """
   rows = int(np.prod(shape[:-1]))
   cols = int(shape[-1])
   return rows, cols
+
+
+def _to_2d(x: jnp.ndarray) -> jnp.ndarray:
+  """The canonical 2D matmul view (see block_shape_for)."""
+  if x.ndim == 4:
+    kh, kw, cin, cout = x.shape
+    return jnp.transpose(x, (2, 0, 1, 3)).reshape(cin * kh * kw, cout)
+  return x.reshape(-1, x.shape[-1])
+
+
+def _from_2d(v: jnp.ndarray, shape: Tuple[int, ...]) -> jnp.ndarray:
+  """Inverse of _to_2d."""
+  if len(shape) == 4:
+    kh, kw, cin, cout = shape
+    return jnp.transpose(v.reshape(cin, kh, kw, cout), (1, 2, 0, 3))
+  return v.reshape(shape)
 
 
 def pool_to_blocks(x: jnp.ndarray, block: Tuple[int, int],
@@ -45,7 +63,7 @@ def pool_to_blocks(x: jnp.ndarray, block: Tuple[int, int],
   br, bc = block
   if rows % br or cols % bc:
     raise ValueError(f'block {block} does not divide 2D view ({rows},{cols})')
-  v = x.reshape(rows // br, br, cols // bc, bc)
+  v = _to_2d(x).reshape(rows // br, br, cols // bc, bc)
   if reduce == 'sum':
     return v.sum(axis=(1, 3))
   if reduce == 'max':
@@ -59,9 +77,8 @@ def expand_from_blocks(block_mask: jnp.ndarray, shape: Tuple[int, ...],
                        block: Tuple[int, int]) -> jnp.ndarray:
   """Broadcasts a block mask back to the element-granular kernel shape."""
   br, bc = block
-  rows, cols = block_shape_for(shape, block)
   m = jnp.repeat(jnp.repeat(block_mask, br, axis=0), bc, axis=1)
-  return m.reshape(shape)
+  return _from_2d(m, shape)
 
 
 def blockwise_drop_grow(mask, weights, score_drop, score_grow, drop_fraction,
@@ -94,6 +111,56 @@ def blockwise_drop_grow(mask, weights, score_drop, score_grow, drop_fraction,
   new_weights = jnp.where(new_conn, grow_tensor.astype(weights.dtype),
                           weights)
   return update_lib.DropGrowResult(new_mask, new_weights, new_conn)
+
+
+def block_executable_layers(masks, block: Tuple[int, int],
+                            conv3x3: bool = False):
+  """Mask paths whose layers can execute on the block-skipping matmul.
+
+  Eligible: 2D kernels and 1x1 conv kernels whose (rows, cols) matmul view
+  the block divides.  Blocks are trained in im2col row order (_to_2d), so
+  spatial (3x3+) convs are executable too via patch extraction
+  (ops/conv.py::block_sparse_conv2d) — but im2col materializes kh*kw x the
+  activations, which usually loses to XLA's native conv; opt in with
+  `conv3x3=True` only where measurement supports it.
+  """
+  out = []
+  br, bc = block
+  for path, m in masks.items():
+    shape = tuple(np.shape(m))
+    if len(shape) == 4 and tuple(shape[:2]) != (1, 1) and not conv3x3:
+      continue
+    if len(shape) not in (2, 4):
+      continue
+    rows, cols = block_shape_for(shape, block)
+    if rows % br == 0 and cols % bc == 0:
+      out.append(path)
+  return out
+
+
+def block_mask_collection(masks, block: Tuple[int, int], paths=None,
+                          conv3x3: bool = False):
+  """Builds the 'block_masks' flax variable collection from a MaskDict.
+
+  Each entry is the (rows/br, cols/bc) int32 occupancy of the layer's
+  element mask, nested at the same path as the kernel param — so
+  ``model.apply({'params': ..., 'block_masks': col}, ...)`` lets
+  block-executing layers (models/common.py ConvFixedPad(block=...)) find
+  their occupancy without any stateful sync.  Derived from the masks in
+  SparseState every step; under jit this is a trivial fused reshape+reduce.
+  """
+  if paths is None:
+    paths = block_executable_layers(masks, block, conv3x3=conv3x3)
+  col: dict = {}
+  for path in paths:
+    bm2 = (pool_to_blocks(masks[path].astype(jnp.float32), block, 'max')
+           > 0).astype(jnp.int32)
+    node = col
+    parts = path.split('/')
+    for k in parts[:-1]:
+      node = node.setdefault(k, {})
+    node[parts[-1]] = bm2
+  return col
 
 
 def random_block_mask(key: jax.Array, shape: Tuple[int, ...],

@@ -56,18 +56,13 @@ def block_sparse_conv2d(x: jnp.ndarray, kernel: jnp.ndarray,
                         interpret: Optional[bool] = None) -> jnp.ndarray:
   """General NHWC conv via patch extraction + block-sparse matmul.
 
-  The kernel's 2D matmul view is (kh*kw*cin, cout) — exactly the view
-  rigl_tpu.ops.block_mask uses for block pooling, so `block_mask` from a
-  blockwise-trained conv layer plugs in directly.  Patch extraction
-  (im2col) costs kh*kw x activation memory; profitable when the layer's
-  density is low enough that the skipped matmul work dominates (NEXT.md #2
-  tracks measuring the crossover on TPU).
-
-  NOTE on block layout: patches arrive feature-ordered (Cin, kh, kw), so
-  `block_mask` must tile THAT row order. A mask trained blockwise on the
-  (kh, kw, Cin) flattening does not stay block-structured after the
-  reorder — conv layers intended for this execution path should train
-  their blocks in (Cin, kh, kw) order (NEXT.md #2).
+  The kernel's 2D matmul view is (cin*kh*kw, cout) in im2col row order —
+  the SAME view rigl_tpu.ops.block_mask pools over (_to_2d transposes conv
+  kernels to (cin, kh, kw) rows), so a blockwise-trained conv mask plugs in
+  directly.  Patch extraction (im2col) costs kh*kw x activation memory;
+  profitable only when the layer's density is low enough that the skipped
+  matmul work dominates — measure before enabling (block_mask_collection
+  conv3x3 flag).
 
   Args:
     x: (N, H, W, Cin).

@@ -68,6 +68,8 @@ def make_train_step(
     has_batch_stats: bool = True,
     has_dropout: bool = False,
     grow_batch: Optional[Dict[str, jnp.ndarray]] = None,
+    block: Optional[Tuple[int, int]] = None,
+    block_conv3x3: bool = False,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]],
               Tuple[TrainState, Dict[str, jnp.ndarray]]]:
   """Builds the fused train step for `model` + sparse-training config `st`.
@@ -75,12 +77,30 @@ def make_train_step(
   `grow_batch`: optional held-out batch whose dense gradients provide the
   grow scores at mask-update steps (rigl_tf2/mask_updaters.py:185-192);
   evaluated only inside the update branch.
-  """
 
-  def loss_fn(eff_params, batch_stats, batch, rng):
+  `block`: enables block-sparse *execution* — the hot forward/backward run
+  eligible layers through the block-skipping Pallas matmul, fed by a
+  'block_masks' collection derived from the live masks each step.  Must
+  match the model's `block` field and SparseTraining's `block` (mask
+  granularity).  The kernel's backward only produces gradients at active
+  blocks, so gradient-scored regrowth (RigL) automatically recomputes
+  *dense* grow gradients through the standard dense-times-mask execution
+  inside the update branch (costing nothing on non-update iterations);
+  algorithms needing dense gradients on every step (SNFS momentum, DNW)
+  are rejected.
+  """
+  if block is not None and st.algo.name in ('momentum', 'dnw'):
+    raise ValueError(
+        f'block-sparse execution cannot serve {st.algo.name}: it needs '
+        'dense gradients every step, but the block kernel backward only '
+        'covers active blocks')
+
+  def loss_fn(eff_params, batch_stats, batch, rng, bm_col=None):
     # `eff_params` is the {'params': ...}-wrapped tree (mask paths are
     # relative to the inner tree; path_str strips the wrapper).
     variables = {'params': eff_params['params']}
+    if bm_col is not None:
+      variables['block_masks'] = bm_col
     if has_batch_stats:
       variables['batch_stats'] = batch_stats
       logits, updates = model.apply(
@@ -100,14 +120,28 @@ def make_train_step(
     # Differentiate w.r.t. the *effective* params: one backward pass yields
     # dense gradients at masked leaves (see transforms/sparse_training.py).
     eff = masks_lib.apply_masks(state.params, state.sparse.masks)
+    bm_col = None
+    if block is not None:
+      from rigl_tpu.ops import block_mask as bm_lib
+      bm_col = bm_lib.block_mask_collection(state.sparse.masks, block,
+                                            conv3x3=block_conv3x3)
     (loss, (logits, new_batch_stats)), dense_grads = jax.value_and_grad(
-        loss_fn, has_aux=True)(eff, state.batch_stats, batch, step_rng)
+        loss_fn, has_aux=True)(eff, state.batch_stats, batch, step_rng,
+                               bm_col)
     grow_grads_fn = None
-    if grow_batch is not None:
+    # Gradient-scored regrowth under block execution needs truly dense
+    # gradients — recompute through dense-times-mask execution, lazily in
+    # the update branch.
+    # (SNIP needs no special case: its saliency pass runs at step 0 when
+    # masks are still all-ones, i.e. every block is active.)
+    need_dense_grow = (block is not None
+                       and st.algo.name in ('rigl', 'rigl_inverted'))
+    if grow_batch is not None or need_dense_grow:
       def grow_grads_fn(params):
+        b = grow_batch if grow_batch is not None else batch
         eff_p = masks_lib.apply_masks(params, state.sparse.masks)
         return jax.grad(
-            lambda p: loss_fn(p, state.batch_stats, grow_batch,
+            lambda p: loss_fn(p, state.batch_stats, b,
                               step_rng)[0])(eff_p)
     params, opt_state, sstate, st_metrics = st.step(
         state.params, state.opt_state, state.sparse, dense_grads,

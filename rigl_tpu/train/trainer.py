@@ -78,6 +78,14 @@ class TrainConfig:
   # 0 = element-granular.
   block_width: int = 0
   block_height: int = 0
+  # Block-sparse *execution*: route eligible convs through the
+  # block-skipping Pallas matmul (ops/conv.py) instead of dense-times-mask.
+  # Requires block_width/height set and a model accepting `block` kwargs
+  # (resnet).  conv3x3 extends it to spatial convs via im2col — usually a
+  # loss, measure first (ops/block_mask.py::block_executable_layers).
+  block_execution: bool = False
+  block_conv3x3: bool = False
+  block_bm: int = 512
   # Structured mask init ('per_neuron', 'symmetric', ...); None = random.
   mask_type: Optional[str] = None
 
@@ -256,6 +264,14 @@ class Trainer:
 
     model_kwargs = dict(cfg.model_kwargs)
     model_kwargs.setdefault('num_classes', self.data_info['num_classes'])
+    exec_block = None
+    if cfg.block_execution:
+      if not (cfg.block_width > 0 and cfg.block_height > 0):
+        raise ValueError('block_execution requires block_width/block_height')
+      exec_block = (cfg.block_height, cfg.block_width)
+      model_kwargs['block'] = exec_block
+      model_kwargs['block_bm'] = cfg.block_bm
+    self._exec_block = exec_block
     self.model = registry.create_model(cfg.model, **model_kwargs)
 
     self.lr_fn = build_lr_fn(cfg, steps_per_epoch)
@@ -294,7 +310,9 @@ class Trainer:
         weight_decay=cfg.weight_decay,
         label_smoothing=cfg.label_smoothing,
         has_batch_stats=True,
-        has_dropout=has_dropout)
+        has_dropout=has_dropout,
+        block=self._exec_block,
+        block_conv3x3=cfg.block_conv3x3)
     self._eval_step = steps.make_eval_step(self.model, has_batch_stats=True)
 
     self.mesh = None
