@@ -67,6 +67,7 @@ def main():
   block = tuple(int(v) for v in block_env.split(',')) if block_env else None
   block_bm = int(os.environ.get('BENCH_BLOCK_BM', 512))
   block_conv3x3 = bool(int(os.environ.get('BENCH_BLOCK_CONV3X3', '0')))
+  block_min_sparsity = float(os.environ.get('BENCH_BLOCK_MIN_SPARSITY', '0'))
 
   def make(method):
     use_block = block if method == 'rigl' else None
@@ -84,7 +85,8 @@ def main():
                                    (batch, image, image, 3))
     fn = steps.make_train_step(model, st, weight_decay=1e-4,
                                label_smoothing=0.1, block=use_block,
-                               block_conv3x3=block_conv3x3)
+                               block_conv3x3=block_conv3x3,
+                               block_min_sparsity=block_min_sparsity)
     return fn, state
 
   rng = np.random.default_rng(0)

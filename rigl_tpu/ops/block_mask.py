@@ -139,27 +139,40 @@ def block_executable_layers(masks, block: Tuple[int, int],
 
 
 def block_mask_collection(masks, block: Tuple[int, int], paths=None,
-                          conv3x3: bool = False):
+                          conv3x3: bool = False, static_counts=None):
   """Builds the 'block_masks' flax variable collection from a MaskDict.
 
-  Each entry is the (rows/br, cols/bc) int32 occupancy of the layer's
-  element mask, nested at the same path as the kernel param — so
-  ``model.apply({'params': ..., 'block_masks': col}, ...)`` lets
-  block-executing layers (models/common.py ConvFixedPad(block=...)) find
-  their occupancy without any stateful sync.  Derived from the masks in
-  SparseState every step; under jit this is a trivial fused reshape+reduce.
+  Each entry describes the layer's active blocks, nested at the same path
+  as the kernel param — so ``model.apply({'params': ..., 'block_masks':
+  col}, ...)`` lets block-executing layers (models/common.py
+  ConvFixedPad(block=...)) find their occupancy without any stateful sync.
+  Derived from the masks in SparseState every step; under jit this is a
+  trivial fused reshape+reduce (+ one small argsort for packed layers).
+
+  Entry forms (ops/conv.py dispatches on them):
+    * (rows/br, cols/bc) int32 occupancy -> v3 kernel;
+    * {'cols', 'rows'} flat column-major packing -> v4 kernel, emitted when
+      `static_counts` (SparseTraining.static_block_counts) pins the
+      layer's active count.
   """
   if paths is None:
     paths = block_executable_layers(masks, block, conv3x3=conv3x3)
+  static_counts = static_counts or {}
   col: dict = {}
   for path in paths:
-    bm2 = (pool_to_blocks(masks[path].astype(jnp.float32), block, 'max')
+    occ = (pool_to_blocks(masks[path].astype(jnp.float32), block, 'max')
            > 0).astype(jnp.int32)
+    if path in static_counts:
+      from rigl_tpu.ops.pallas.block_sparse_v4 import pack_flat_active
+      cols_a, rows_a = pack_flat_active(occ, static_counts[path])
+      entry = {'cols': cols_a, 'rows': rows_a}
+    else:
+      entry = occ
     node = col
     parts = path.split('/')
     for k in parts[:-1]:
       node = node.setdefault(k, {})
-    node[parts[-1]] = bm2
+    node[parts[-1]] = entry
   return col
 
 

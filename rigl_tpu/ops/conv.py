@@ -16,6 +16,16 @@ import jax.numpy as jnp
 from rigl_tpu.ops.pallas.block_sparse_v3 import block_sparse_matmul_v3
 
 
+def _dispatch_matmul(x2d, kernel2d, block_mask, block, bm, interpret):
+  """Occupancy array -> v3 kernel; {'cols','rows'} packing -> v4."""
+  if isinstance(block_mask, dict):
+    from rigl_tpu.ops.pallas.block_sparse_v4 import block_sparse_matmul_v4
+    return block_sparse_matmul_v4(x2d, kernel2d, block_mask['cols'],
+                                  block_mask['rows'], block, bm, interpret)
+  return block_sparse_matmul_v3(x2d, kernel2d, block_mask, block, bm,
+                                interpret)
+
+
 def block_sparse_conv1x1(x: jnp.ndarray, kernel: jnp.ndarray,
                          block_mask: jnp.ndarray,
                          stride: int = 1,
@@ -43,7 +53,7 @@ def block_sparse_conv1x1(x: jnp.ndarray, kernel: jnp.ndarray,
   pad = (-rows) % bm
   if pad:
     x2d = jnp.pad(x2d, ((0, pad), (0, 0)))
-  y = block_sparse_matmul_v3(x2d, kernel, block_mask, block, bm, interpret)
+  y = _dispatch_matmul(x2d, kernel, block_mask, block, bm, interpret)
   return y[:rows].reshape(n, h, w_dim, cout)
 
 
@@ -86,5 +96,5 @@ def block_sparse_conv2d(x: jnp.ndarray, kernel: jnp.ndarray,
   pad = (-rows) % bm
   if pad:
     x2d = jnp.pad(x2d, ((0, pad), (0, 0)))
-  y = block_sparse_matmul_v3(x2d, k2d, block_mask, block, bm, interpret)
+  y = _dispatch_matmul(x2d, k2d, block_mask, block, bm, interpret)
   return y[:rows].reshape(n, oh, ow, cout)

@@ -70,6 +70,7 @@ def make_train_step(
     grow_batch: Optional[Dict[str, jnp.ndarray]] = None,
     block: Optional[Tuple[int, int]] = None,
     block_conv3x3: bool = False,
+    block_min_sparsity: float = 0.0,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]],
               Tuple[TrainState, Dict[str, jnp.ndarray]]]:
   """Builds the fused train step for `model` + sparse-training config `st`.
@@ -123,8 +124,17 @@ def make_train_step(
     bm_col = None
     if block is not None:
       from rigl_tpu.ops import block_mask as bm_lib
-      bm_col = bm_lib.block_mask_collection(state.sparse.masks, block,
-                                            conv3x3=block_conv3x3)
+      # Route only layers whose (static) target sparsity makes block
+      # skipping profitable; dense-ish layers stay on XLA convs.  Sparsity
+      # targets are host-side floats (SparseTraining.init), so the routing
+      # is resolved at trace time — no dynamic shapes.
+      paths = bm_lib.block_executable_layers(state.sparse.masks, block,
+                                             conv3x3=block_conv3x3)
+      paths = [p for p in paths
+               if st.sparsities.get(p, 0.0) >= block_min_sparsity]
+      bm_col = bm_lib.block_mask_collection(
+          state.sparse.masks, block, paths=paths,
+          static_counts=st.static_block_counts())
     (loss, (logits, new_batch_stats)), dense_grads = jax.value_and_grad(
         loss_fn, has_aux=True)(eff, state.batch_stats, batch, step_rng,
                                bm_col)

@@ -86,6 +86,9 @@ class TrainConfig:
   block_execution: bool = False
   block_conv3x3: bool = False
   block_bm: int = 512
+  # Only block-execute layers at least this sparse (denser layers skip
+  # little and pay kernel overhead; 0 = route every eligible layer).
+  block_min_sparsity: float = 0.0
   # Structured mask init ('per_neuron', 'symmetric', ...); None = random.
   mask_type: Optional[str] = None
 
@@ -312,7 +315,8 @@ class Trainer:
         has_batch_stats=True,
         has_dropout=has_dropout,
         block=self._exec_block,
-        block_conv3x3=cfg.block_conv3x3)
+        block_conv3x3=cfg.block_conv3x3,
+        block_min_sparsity=cfg.block_min_sparsity)
     self._eval_step = steps.make_eval_step(self.model, has_batch_stats=True)
 
     self.mesh = None

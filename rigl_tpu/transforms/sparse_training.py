@@ -101,8 +101,9 @@ class SparseTraining:
     # 'per_neuron_no_input_ablation', ... (sparsity/generators.py registry);
     # None = plain exact-count random masks.
     self.mask_generator = mask_generator
-    # Per-layer sparsity targets, filled by init() (host-side dict of floats).
+    # Per-layer sparsity targets + shapes, filled by init() (host-side).
     self.sparsities: Dict[str, float] = {}
+    self.layer_shapes: Dict[str, Tuple[int, ...]] = {}
 
   def _layer_block(self, shape) -> Optional[Tuple[int, int]]:
     if self.block is None:
@@ -120,6 +121,7 @@ class SparseTraining:
     """Builds the optimizer state and the initial mask set."""
     algo = self.algo
     shapes = masks_lib.mask_shapes(params, self.mask_rule)
+    self.layer_shapes = dict(shapes)
     if algo.name == 'none':
       # Dense baseline: no masks at all.
       self.sparsities = {}
@@ -184,6 +186,35 @@ class SparseTraining:
         initial_weights=initial_weights,
     )
     return self.tx.init(params), sstate
+
+  def static_block_counts(self) -> Dict[str, int]:
+    """Per-layer active-block counts that are invariant through training.
+
+    The drop/grow kernel removes exactly ``floor(drop_fraction * n_ones)``
+    blocks and grows the same number (floor arithmetic, disjoint sets), so
+    for block-granular masks under the drop/grow family the active count
+    never changes — it is a compile-time constant, which lets the v4
+    flat-packed kernel size its grid by it
+    (ops/pallas/block_sparse_v4.py).  Empty for configurations where the
+    invariant does not hold (element masks, structured generators,
+    count-changing algorithms like gradual pruning / SNIP / DNW).
+    """
+    if self.block is None or self.mask_generator is not None:
+      return {}
+    if self.algo.name not in ('set', 'rigl', 'rigl_inverted', 'static',
+                              'scratch'):
+      return {}
+    from rigl_tpu.ops.block_mask import block_shape_for
+    br, bc = self.block
+    out: Dict[str, int] = {}
+    for p, shape in self.layer_shapes.items():
+      if self._layer_block(shape) is None:
+        continue
+      rows, cols = block_shape_for(shape, self.block)
+      n_blocks = (rows // br) * (cols // bc)
+      n_zeros = distributions.get_n_zeros(n_blocks, self.sparsities[p])
+      out[p] = n_blocks - n_zeros
+    return out
 
   # ------------------------------------------------------------- internals --
   def _layer_key(self, step: jnp.ndarray, layer_idx: int, tag: int

@@ -209,3 +209,91 @@ def test_block_sparse_conv2d_stride2():
   assert y.shape == y_ref.shape == (1, 4, 4, 16)
   np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-4,
                              atol=1e-4)
+
+
+def test_v4_flat_packed_matches_dense_reference():
+  """v4 (flat-packed active blocks) fwd + dx + dw vs dense-times-mask,
+  including empty output columns and both dw modes."""
+  from rigl_tpu.ops.pallas.block_sparse_v4 import (block_sparse_matmul_v4,
+                                                   pack_flat_active)
+  from rigl_tpu.ops.block_mask import expand_from_blocks
+
+  rs = np.random.RandomState(3)
+  block, bm_tile = (16, 32), 16
+  x = jnp.asarray(rs.randn(48, 64), jnp.float32)
+  w = jnp.asarray(rs.randn(64, 96), jnp.float32)
+  # occupancy with one fully-empty column block
+  occ = np.array([[1, 0, 1],
+                  [0, 0, 1],
+                  [1, 0, 0],
+                  [1, 0, 1]], np.int32)
+  bmask = jnp.asarray(occ)
+  n_active = int(occ.sum())
+  cols, rows = pack_flat_active(bmask, n_active)
+  mask_el = expand_from_blocks(bmask.astype(jnp.float32), (64, 96), block)
+
+  for dw_mode in ('dense', 'gather'):
+    y = block_sparse_matmul_v4(x, w, cols, rows, block, bm_tile, None,
+                               dw_mode)
+    y_ref = x @ (mask_el * w)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-4,
+                               atol=1e-3)
+
+    f = lambda x, w: jnp.sum(block_sparse_matmul_v4(
+        x, w, cols, rows, block, bm_tile, None, dw_mode) ** 2)
+    f_ref = lambda x, w: jnp.sum((x @ (mask_el * w)) ** 2)
+    gx, gw = jax.grad(f, argnums=(0, 1))(x, w)
+    gx_ref, gw_ref = jax.grad(f_ref, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), rtol=1e-4,
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gw),
+                               np.asarray(gw_ref * mask_el), rtol=1e-4,
+                               atol=1e-3)
+
+
+def test_v4_pack_flat_active_column_major():
+  from rigl_tpu.ops.pallas.block_sparse_v4 import pack_flat_active
+  occ = jnp.asarray([[0, 1], [1, 1]], jnp.int32)
+  cols, rows = pack_flat_active(occ, 3)
+  assert cols.shape == (4,) and rows.shape == (4,)
+  np.testing.assert_array_equal(np.asarray(cols), [0, 1, 1, -1])
+  np.testing.assert_array_equal(np.asarray(rows), [1, 0, 1, 0])
+
+
+def test_static_block_counts_invariant():
+  """SparseTraining reports static counts only where the invariant holds,
+  and the reported count matches the realized mask through updates."""
+  import optax
+  from rigl_tpu.sparsity.schedules import UpdateSchedule
+  from rigl_tpu.transforms import algorithms
+  from rigl_tpu.transforms.sparse_training import SparseTraining
+  from rigl_tpu.ops.block_mask import pool_to_blocks
+
+  params = {'params': {'d': {'kernel': jnp.zeros((32, 64))}}}
+  sched = UpdateSchedule(begin_step=0, end_step=100, frequency=1,
+                         drop_fraction=0.5)
+  st = SparseTraining(optax.sgd(0.1), algorithms.SET(schedule=sched),
+                      distribution='uniform', default_sparsity=0.5,
+                      block=(8, 8))
+  _, sstate = st.init(jax.random.key(0), params)
+  counts = st.static_block_counts()
+  assert counts == {'d/kernel': 16}  # 32 blocks, floor(0.5*32)=16 zeros
+  occ = pool_to_blocks(sstate.masks['d/kernel'], (8, 8), 'max')
+  assert int(occ.sum()) == 16
+
+  # run a few SET steps (mask updates every step) -> count invariant
+  p, o, s = params, st.tx.init(params), sstate
+  grads = jax.tree.map(jnp.ones_like, params)
+  for _ in range(3):
+    p, o, s, _ = st.step(p, o, s, grads)
+  occ = pool_to_blocks(s.masks['d/kernel'], (8, 8), 'max')
+  assert int(occ.sum()) == 16
+
+  # gradual pruning changes counts -> no static counts
+  st2 = SparseTraining(
+      optax.sgd(0.1),
+      algorithms.GradualPruning(schedule=UpdateSchedule(
+          begin_step=0, end_step=10, frequency=2, drop_fraction=0.0)),
+      distribution='uniform', default_sparsity=0.5, block=(8, 8))
+  st2.init(jax.random.key(0), params)
+  assert st2.static_block_counts() == {}
