@@ -6,8 +6,9 @@ re-design makes the environment itself a jittable pure function, so entire
 rollout -> replay -> learn loops compile into single XLA programs
 (lax.scan over env steps) with zero host crossings.
 
-CartPole-v1 dynamics (classic control), the standard correctness benchmark
-for DQN/PPO implementations.
+Env zoo: CartPole (discrete, DQN/PPO correctness benchmark), Pendulum
+(continuous, SAC), Breakout (MinAtar-style 10x10 image obs for the
+NatureDQN/Impala conv networks).
 """
 
 from __future__ import annotations
@@ -23,6 +24,109 @@ class EnvState(NamedTuple):
   done: jnp.ndarray     # bool
   t: jnp.ndarray        # int32 step count
   key: jax.Array
+
+
+class Breakout:
+  """MinAtar-style Breakout on a 10x10 grid — the conv-net workload.
+
+  The reference exercises NatureDQN/Impala nets on Atari through Dopamine
+  (rl/dqn_agents.py:211-306); this pure-JAX miniature keeps the whole
+  rollout+learn loop on-device while presenting an image observation that
+  drives the same conv Q-networks.
+
+  Observation (10, 10, 4) float32 channels: 0=paddle (bottom row), 1=ball,
+  2=direction code at the ball cell (value k/4, k in 1..4 encoding the four
+  diagonal velocities — MinAtar uses a trail channel for the same
+  Markov-ness; an explicit code avoids trail clipping artifacts at walls),
+  3=bricks (three rows).  Actions: 0=noop, 1=left, 2=right.  Reward +1 per
+  brick; episode ends when the ball passes the paddle or at `max_steps`;
+  bricks replenish when cleared.  The observation is the full state, so
+  EnvState stays the shared (obs, done, t, key) tuple.
+  """
+
+  num_actions: int = 3
+  obs_shape: Tuple[int, ...] = (10, 10, 4)
+  max_steps: int = 1000
+  SIZE = 10
+  BRICK_ROWS = (1, 2, 3)
+
+  def _bricks_full(self):
+    b = jnp.zeros((self.SIZE, self.SIZE), jnp.float32)
+    for r in self.BRICK_ROWS:
+      b = b.at[r].set(1.0)
+    return b
+
+  def _pack(self, paddle_x, ball, dy, dx, bricks):
+    code = ((dy > 0) * 2 + (dx > 0) + 1).astype(jnp.float32) / 4.0
+    obs = jnp.zeros(self.obs_shape, jnp.float32)
+    obs = obs.at[self.SIZE - 1, paddle_x, 0].set(1.0)
+    obs = obs.at[ball[0], ball[1], 1].set(1.0)
+    obs = obs.at[ball[0], ball[1], 2].set(code)
+    return obs.at[:, :, 3].set(bricks)
+
+  def _unpack(self, obs):
+    paddle_x = jnp.argmax(obs[self.SIZE - 1, :, 0]).astype(jnp.int32)
+    ball = jnp.stack(jnp.unravel_index(jnp.argmax(obs[:, :, 1]),
+                                       (self.SIZE, self.SIZE))
+                     ).astype(jnp.int32)
+    k = jnp.round(jnp.max(obs[:, :, 2]) * 4.0).astype(jnp.int32)
+    dy = jnp.where(k >= 3, 1, -1).astype(jnp.int32)
+    dx = jnp.where(k % 2 == 0, 1, -1).astype(jnp.int32)
+    return paddle_x, ball, dy, dx, obs[:, :, 3]
+
+  def _reset_obs(self, key):
+    k1, k2 = jax.random.split(key)
+    col = jax.random.randint(k1, (), 0, self.SIZE)
+    dx = jnp.where(jax.random.bernoulli(k2), 1, -1).astype(jnp.int32)
+    ball = jnp.stack([jnp.asarray(4, jnp.int32), col])
+    return self._pack(jnp.asarray(self.SIZE // 2, jnp.int32), ball,
+                      jnp.asarray(1, jnp.int32), dx, self._bricks_full())
+
+  def reset(self, key: jax.Array) -> EnvState:
+    key, sub = jax.random.split(key)
+    return EnvState(obs=self._reset_obs(sub), done=jnp.asarray(False),
+                    t=jnp.zeros((), jnp.int32), key=key)
+
+  def step(self, state: EnvState, action: jnp.ndarray
+           ) -> Tuple[EnvState, jnp.ndarray, jnp.ndarray]:
+    size = self.SIZE
+    paddle_x, ball, dy, dx, bricks = self._unpack(state.obs)
+
+    paddle_x = jnp.clip(
+        paddle_x + jnp.where(action == 2, 1, 0) - jnp.where(action == 1, 1, 0),
+        0, size - 1)
+
+    # Wall bounces (sides + top), then advance one cell.
+    dx = jnp.where((ball[1] + dx < 0) | (ball[1] + dx > size - 1), -dx, dx)
+    dy = jnp.where(ball[0] + dy < 0, -dy, dy)
+    new_ball = ball + jnp.stack([dy, dx])
+
+    # Brick hit: clear it, score, bounce vertically (ball occupies the
+    # brick cell this step, reverses next step via the direction code).
+    hit = bricks[new_ball[0], new_ball[1]] > 0
+    reward = hit.astype(jnp.float32)
+    bricks = bricks.at[new_ball[0], new_ball[1]].set(
+        jnp.where(hit, 0.0, bricks[new_ball[0], new_ball[1]]))
+    # Replenish when cleared.
+    bricks = jnp.where(bricks.sum() == 0, self._bricks_full(), bricks)
+    # Vertical bounce off the brick: trail below/above accordingly.
+    dy_after = jnp.where(hit, -dy, dy)
+
+    # Bottom row: paddle catch bounces, miss ends the episode.
+    at_bottom = new_ball[0] == size - 1
+    caught = at_bottom & (new_ball[1] == paddle_x)
+    missed = at_bottom & ~caught
+    dy_after = jnp.where(caught, -1, dy_after)
+
+    t = state.t + 1
+    done = missed | (t >= self.max_steps)
+    obs = self._pack(paddle_x, new_ball, dy_after, dx, bricks)
+
+    key, sub = jax.random.split(state.key)
+    next_obs = jnp.where(done, self._reset_obs(sub), obs)
+    next_t = jnp.where(done, 0, t)
+    return (EnvState(obs=next_obs, done=done, t=next_t, key=key),
+            reward, done)
 
 
 class Pendulum:

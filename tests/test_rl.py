@@ -214,3 +214,77 @@ def test_phase_runner():
   assert len(result['phases']) == 4
   assert result['total_episodes'] > 0
   assert np.isfinite(result['final_score'])
+
+
+def test_breakout_dynamics():
+  """Ball falls, bounces off the paddle, scores on bricks, dies on a miss."""
+  from rigl_tpu.rl.envs import Breakout
+  env = Breakout()
+  state = env.reset(jax.random.key(0))
+  assert state.obs.shape == (10, 10, 4)
+  # channels: one paddle cell, one ball cell, direction code at ball, bricks
+  assert float(state.obs[..., 0].sum()) == 1.0
+  assert float(state.obs[..., 1].sum()) == 1.0
+  assert float(state.obs[..., 3].sum()) == 30.0  # 3 rows x 10
+
+  step = jax.jit(env.step)
+  # Anticipatory tracking policy: aim the paddle at the landing column.
+  total_reward = 0.0
+  s = state
+  for _ in range(300):
+    obs = np.asarray(s.obs)
+    ball_r, ball_col = np.unravel_index(obs[..., 1].argmax(), (10, 10))
+    k = int(round(float(obs[..., 2].max()) * 4))
+    dx = 1 if k % 2 == 0 else -1
+    target = int(np.clip(ball_col + dx, 0, 9)) if ball_r >= 6 else ball_col
+    pad_col = int(np.argmax(obs[9, :, 0]))
+    action = jnp.asarray(0 if target == pad_col
+                         else (2 if target > pad_col else 1))
+    s, r, d = step(s, action)
+    total_reward += float(r)
+  assert total_reward > 0, 'tracking policy must hit bricks'
+
+  # A noop policy eventually misses and the env auto-resets.
+  s = env.reset(jax.random.key(3))
+  saw_done = False
+  for _ in range(100):
+    s, r, d = step(s, jnp.asarray(0))
+    if bool(d):
+      saw_done = True
+      assert float(s.obs[..., 3].sum()) == 30.0  # fresh bricks after reset
+      break
+  assert saw_done
+
+
+def test_breakout_observation_is_markov():
+  """Direction is exactly recoverable from the observation: stepping twice
+  from the same obs gives the same trajectory."""
+  from rigl_tpu.rl.envs import Breakout, EnvState
+  env = Breakout()
+  s = env.reset(jax.random.key(1))
+  for _ in range(5):
+    s, _, _ = env.step(s, jnp.asarray(0))
+  clone = EnvState(obs=s.obs, done=s.done, t=s.t, key=s.key)
+  s1, r1, d1 = env.step(s, jnp.asarray(2))
+  s2, r2, d2 = env.step(clone, jnp.asarray(2))
+  np.testing.assert_array_equal(np.asarray(s1.obs), np.asarray(s2.obs))
+
+
+def test_sparse_dqn_breakout_conv_smoke():
+  """NEXT.md #7: conv Q-networks (Impala) exercised end-to-end on the
+  image-observation env through the sparse DQN stack."""
+  from rigl_tpu.rl.envs import Breakout
+  env = Breakout()
+  cfg = DQNConfig(training_method='rigl', sparsity=0.5,
+                  maskupdate_begin_step=1, maskupdate_frequency=2,
+                  buffer_capacity=200, batch_size=8, min_replay=10,
+                  learn_every=2, epsilon_decay_steps=50)
+  agent = SparseDQN(ImpalaNet(num_actions=env.num_actions, width=0.25),
+                    env, cfg)
+  state = agent.init(jax.random.key(0))
+  run = jax.jit(agent.collect_and_learn)
+  for _ in range(10):
+    state, metrics = run(state)
+  assert int(state.env_steps) == 10 * cfg.learn_every
+  assert int(metrics['learn_steps']) > 0
+  assert np.isfinite(float(metrics['avg_return']))
