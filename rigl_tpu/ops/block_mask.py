@@ -158,16 +158,23 @@ def block_mask_collection(masks, block: Tuple[int, int], paths=None,
   if paths is None:
     paths = block_executable_layers(masks, block, conv3x3=conv3x3)
   static_counts = static_counts or {}
-  col: dict = {}
+  entries = {}
   for path in paths:
     occ = (pool_to_blocks(masks[path].astype(jnp.float32), block, 'max')
            > 0).astype(jnp.int32)
     if path in static_counts:
       from rigl_tpu.ops.pallas.block_sparse_v4 import pack_flat_active
       cols_a, rows_a = pack_flat_active(occ, static_counts[path])
-      entry = {'cols': cols_a, 'rows': rows_a}
+      entries[path] = {'cols': cols_a, 'rows': rows_a}
     else:
-      entry = occ
+      entries[path] = occ
+  return nest_entries(entries)
+
+
+def nest_entries(entries):
+  """{'a/b/kernel': entry} -> nested {'a': {'b': {'kernel': entry}}}."""
+  col: dict = {}
+  for path, entry in entries.items():
     node = col
     parts = path.split('/')
     for k in parts[:-1]:

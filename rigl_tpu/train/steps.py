@@ -95,6 +95,10 @@ def make_train_step(
         f'block-sparse execution cannot serve {st.algo.name}: it needs '
         'dense gradients every step, but the block kernel backward only '
         'covers active blocks')
+  if block is not None and st.block != block:
+    raise ValueError(
+        f'block execution {block} requires SparseTraining(block={block}) '
+        f'so masks are block-granular (got {st.block})')
 
   def loss_fn(eff_params, batch_stats, batch, rng, bm_col=None):
     # `eff_params` is the {'params': ...}-wrapped tree (mask paths are
@@ -127,14 +131,16 @@ def make_train_step(
       # Route only layers whose (static) target sparsity makes block
       # skipping profitable; dense-ish layers stay on XLA convs.  Sparsity
       # targets are host-side floats (SparseTraining.init), so the routing
-      # is resolved at trace time — no dynamic shapes.
+      # is resolved at trace time — no dynamic shapes.  The per-layer
+      # descriptors come from SparseState.block_packs, refreshed only when
+      # masks change — the hot path does no pooling/packing work.
       paths = bm_lib.block_executable_layers(state.sparse.masks, block,
                                              conv3x3=block_conv3x3)
-      paths = [p for p in paths
-               if st.sparsities.get(p, 0.0) >= block_min_sparsity]
-      bm_col = bm_lib.block_mask_collection(
-          state.sparse.masks, block, paths=paths,
-          static_counts=st.static_block_counts())
+      packs = state.sparse.block_packs or {}
+      entries = {p: packs[p] for p in paths
+                 if p in packs
+                 and st.sparsities.get(p, 0.0) >= block_min_sparsity}
+      bm_col = bm_lib.nest_entries(entries) if entries else None
     (loss, (logits, new_batch_stats)), dense_grads = jax.value_and_grad(
         loss_fn, has_aux=True)(eff, state.batch_stats, batch, step_rng,
                                bm_col)

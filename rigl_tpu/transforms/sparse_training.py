@@ -53,6 +53,11 @@ class SparseState(flax.struct.PyTreeNode):
   is_snipped: jnp.ndarray
   ema_grads: Optional[MaskDict] = None
   initial_weights: Optional[MaskDict] = None
+  # Per-layer block-execution descriptors derived from `masks` — cached
+  # here because they only change when masks change (amortized over the
+  # update frequency), while the execution path reads them every step.
+  # {path: {'cols', 'rows'} flat packing (static count) or occupancy}.
+  block_packs: Optional[Dict[str, Any]] = None
 
 
 class SparseTraining:
@@ -184,8 +189,34 @@ class SparseTraining:
         is_snipped=jnp.zeros((), jnp.bool_),
         ema_grads=ema,
         initial_weights=initial_weights,
+        block_packs=self._compute_packs(mask_dict),
     )
     return self.tx.init(params), sstate
+
+  def _compute_packs(self, masks: MaskDict) -> Optional[Dict[str, Any]]:
+    """Block-execution descriptors for every block-divisible layer.
+
+    Must be recomputed whenever masks change (init + every mask-mutating
+    branch of step()); the train step serves them to the model's
+    'block_masks' collection without touching the full masks.
+    """
+    if self.block is None or not masks:
+      return None
+    from rigl_tpu.ops.block_mask import pool_to_blocks
+    counts = self.static_block_counts()
+    packs: Dict[str, Any] = {}
+    for p, m in masks.items():
+      if self._layer_block(m.shape) is None:
+        continue
+      occ = (pool_to_blocks(m.astype(jnp.float32), self.block, 'max')
+             > 0).astype(jnp.int32)
+      if p in counts:
+        from rigl_tpu.ops.pallas.block_sparse_v4 import pack_flat_active
+        cols, rows = pack_flat_active(occ, counts[p])
+        packs[p] = {'cols': cols, 'rows': rows}
+      else:
+        packs[p] = occ
+    return packs or None
 
   def static_block_counts(self) -> Dict[str, int]:
     """Per-layer active-block counts that are invariant through training.
@@ -381,18 +412,19 @@ class SparseTraining:
         g_sel = masks_lib.select_masked(dense_grads, masks)
         saliency = {p: jnp.abs(g_sel[p] * w_sel[p]) for p in masks}
         new_masks = self._remask_by_score(saliency, masks)
-        return (params, opt_state, new_masks, sstate.step,
-                jnp.ones((), jnp.bool_))
+        return (params, opt_state, new_masks, self._compute_packs(new_masks),
+                sstate.step, jnp.ones((), jnp.bool_))
 
       def apply_branch(params, opt_state):
         new_params, new_opt_state = self._apply(train_grads, params, opt_state)
-        return (new_params, new_opt_state, masks, sstate.step + 1,
-                sstate.is_snipped)
+        return (new_params, new_opt_state, masks, sstate.block_packs,
+                sstate.step + 1, sstate.is_snipped)
 
-      new_params, new_opt_state, new_masks, new_step, snipped = jax.lax.cond(
-          do_snip, snip_branch, apply_branch, params, opt_state)
+      (new_params, new_opt_state, new_masks, new_packs, new_step,
+       snipped) = jax.lax.cond(do_snip, snip_branch, apply_branch, params,
+                               opt_state)
       new_sstate = sstate.replace(masks=new_masks, step=new_step,
-                                  is_snipped=snipped)
+                                  is_snipped=snipped, block_packs=new_packs)
       metrics['mask_updated'] = do_snip
       return new_params, new_opt_state, new_sstate, metrics
 
@@ -403,7 +435,8 @@ class SparseTraining:
       w_sel = masks_lib.select_masked(new_params, masks)
       new_masks = self._remask_by_score(
           {p: jnp.abs(w) for p, w in w_sel.items()}, masks)
-      new_sstate = sstate.replace(masks=new_masks, step=sstate.step + 1)
+      new_sstate = sstate.replace(masks=new_masks, step=sstate.step + 1,
+                                  block_packs=self._compute_packs(new_masks))
       metrics['mask_updated'] = jnp.ones((), jnp.bool_)
       return new_params, new_opt_state, new_sstate, metrics
 
@@ -430,16 +463,17 @@ class SparseTraining:
           n_keep = jnp.round((1.0 - s_t) * n_total).astype(jnp.int32)
           out[path] = update_lib.topk_mask_from_scores(
               jnp.abs(w), n_keep, self.mask_dtype).reshape(w.shape)
-        return out, step_after
+        return out, self._compute_packs(out), step_after
 
       def no_prune_branch(args):
         _, masks_in = args
-        return masks_in, sstate.last_update_step
+        return masks_in, sstate.block_packs, sstate.last_update_step
 
-      new_masks, new_last = jax.lax.cond(
+      new_masks, new_packs, new_last = jax.lax.cond(
           is_update, prune_branch, no_prune_branch, (new_params, masks))
       new_sstate = sstate.replace(masks=new_masks, step=step_after,
-                                  last_update_step=new_last)
+                                  last_update_step=new_last,
+                                  block_packs=new_packs)
       metrics['mask_updated'] = is_update
       return new_params, new_opt_state, new_sstate, metrics
 
@@ -457,14 +491,15 @@ class SparseTraining:
                        else dense_grads)
         p, os, m = self._drop_grow_all(params, opt_state, sstate, score_grads,
                                        drop_fraction, ema)
-        return p, os, m, sstate.step, sstate.step
+        return p, os, m, self._compute_packs(m), sstate.step, sstate.step
 
       def apply_branch(params, opt_state):
         new_params, new_opt_state = self._apply(train_grads, params, opt_state)
-        return (new_params, new_opt_state, masks, sstate.step + 1,
-                sstate.last_update_step)
+        return (new_params, new_opt_state, masks, sstate.block_packs,
+                sstate.step + 1, sstate.last_update_step)
 
-      new_params, new_opt_state, new_masks, new_step, new_last = jax.lax.cond(
+      (new_params, new_opt_state, new_masks, new_packs, new_step,
+       new_last) = jax.lax.cond(
           is_update, update_branch, apply_branch, params, opt_state)
     else:
       # SET-family semantics: gradient step always applies; the mask update
@@ -481,17 +516,19 @@ class SparseTraining:
         p, os, m = self._drop_grow_all(
             params, opt_state, sstate.replace(step=new_step), score_grads,
             drop_fraction, ema)
-        return p, os, m, new_step
+        return p, os, m, self._compute_packs(m), new_step
 
       def no_update_branch(params, opt_state):
-        return params, opt_state, masks, sstate.last_update_step
+        return (params, opt_state, masks, sstate.block_packs,
+                sstate.last_update_step)
 
-      new_params, new_opt_state, new_masks, new_last = jax.lax.cond(
+      new_params, new_opt_state, new_masks, new_packs, new_last = jax.lax.cond(
           is_update, update_branch, no_update_branch, new_params,
           new_opt_state)
 
     new_sstate = sstate.replace(masks=new_masks, step=new_step,
-                                last_update_step=new_last, ema_grads=ema)
+                                last_update_step=new_last, ema_grads=ema,
+                                block_packs=new_packs)
     metrics['mask_updated'] = is_update
     metrics['drop_fraction'] = drop_fraction
     return new_params, new_opt_state, new_sstate, metrics
