@@ -101,6 +101,12 @@ class _BlockConv(nn.Module):
           stride=self.strides, padding=self.padding, block=self.block,
           bm=self.block_bm)
     else:
+      # NOTE: a dense-1x1-as-dot formulation was tried here and beat the
+      # conv form in isolation (scripts/bench_conv1x1_vs_dot.py, 1.04-2.4x)
+      # but DOUBLED the full ResNet-50 step time for both training arms
+      # (PERF.md) — inside the model, XLA's layout assignment for dots vs
+      # convs forces conversions around every 1x1.  Keep XLA convs for
+      # dense execution.
       y = jax.lax.conv_general_dilated(
           x, kernel, (self.strides, self.strides), self.padding,
           dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
