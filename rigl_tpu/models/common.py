@@ -91,15 +91,21 @@ class _BlockConv(nn.Module):
     x = x.astype(self.dtype)
     kernel = kernel.astype(self.dtype)
     block_mask = self.get_variable('block_masks', 'kernel', None)
-    if block_mask is not None and self.block is not None:
-      from rigl_tpu.ops import conv as bs_conv
-      # 1x1 routes straight to the matmul; spatial kernels go through
-      # im2col patches (entries for them only exist when the collection
-      # builder was asked for conv3x3 execution).
-      y = bs_conv.block_sparse_conv2d(
-          x, kernel, jax.lax.stop_gradient(block_mask),
-          stride=self.strides, padding=self.padding, block=self.block,
-          bm=self.block_bm)
+    is_tap = isinstance(block_mask, dict) and 'taps' in block_mask
+    if (block_mask is not None and self.block is not None
+        and not (is_tap and (self.strides != 1 or k == 1))):
+      if is_tap:
+        # Spatial kernel, stride 1: the direct shift-and-matmul tap kernel.
+        from rigl_tpu.ops.pallas.block_sparse_conv import block_sparse_conv_tap
+        y = block_sparse_conv_tap(
+            x, kernel, jax.lax.stop_gradient(block_mask), block=self.block,
+            bm=self.block_bm)
+      else:
+        from rigl_tpu.ops import conv as bs_conv
+        # 1x1 routes straight to the block-skipping matmul.
+        y = bs_conv.block_sparse_conv1x1(
+            x, kernel, jax.lax.stop_gradient(block_mask),
+            stride=self.strides, block=self.block, bm=self.block_bm)
     else:
       # NOTE: a dense-1x1-as-dot formulation was tried here and beat the
       # conv form in isolation (scripts/bench_conv1x1_vs_dot.py, 1.04-2.4x)

@@ -81,6 +81,61 @@ def expand_from_blocks(block_mask: jnp.ndarray, shape: Tuple[int, ...],
   return _from_2d(m, shape)
 
 
+# ------------------------------------------------------------ tap layout --
+# Spatial convs get per-tap block granularity: the block cell is
+# (1, 1, bk, bn) on the (kh, kw, cin, cout) kernel, giving a
+# (kh*kw, cin/bk, cout/bn) occupancy.  This is the layout the direct
+# block-sparse conv kernel executes (ops/pallas/block_sparse_conv.py): a
+# stride-1 SAME conv is a sum over kh*kw constant row shifts of the
+# spatially padded activations, each tap a block-sparse (Cin x Cout) matmul.
+# (The earlier im2col row layout mixed taps within a block, which is only
+# executable by materializing kh*kw x the activations.)
+
+
+def is_tap_layer(shape: Tuple[int, ...], block: Tuple[int, int]) -> bool:
+  """True if `shape` is a spatial conv kernel divisible into tap blocks."""
+  if len(shape) != 4 or tuple(shape[:2]) == (1, 1):
+    return False
+  br, bc = block
+  return shape[2] % br == 0 and shape[3] % bc == 0
+
+
+def pool_to_tap_blocks(x: jnp.ndarray, block: Tuple[int, int],
+                       reduce: str = 'sum') -> jnp.ndarray:
+  """(kh, kw, cin, cout) -> (kh*kw, cin/bk, cout/bn) block cells."""
+  kh, kw, cin, cout = x.shape
+  br, bc = block
+  v = x.reshape(kh * kw, cin // br, br, cout // bc, bc)
+  if reduce == 'sum':
+    return v.sum(axis=(2, 4))
+  if reduce == 'max':
+    return v.max(axis=(2, 4))
+  if reduce == 'mean':
+    return v.mean(axis=(2, 4))
+  raise ValueError(reduce)
+
+
+def expand_from_tap_blocks(tap_mask: jnp.ndarray, shape: Tuple[int, ...],
+                           block: Tuple[int, int]) -> jnp.ndarray:
+  """Broadcasts a (kh*kw, cin/bk, cout/bn) mask back to (kh, kw, cin, cout)."""
+  kh, kw, cin, cout = shape
+  br, bc = block
+  m = jnp.repeat(jnp.repeat(tap_mask, br, axis=1), bc, axis=2)
+  return m.reshape(shape)
+
+
+def random_tap_block_mask(key: jax.Array, shape: Tuple[int, ...],
+                          sparsity: float, block: Tuple[int, int],
+                          dtype=jnp.float32) -> jnp.ndarray:
+  """Random spatial-conv mask with exact tap-block-level sparsity."""
+  from rigl_tpu.sparsity import masks as masks_lib
+  kh, kw, cin, cout = shape
+  br, bc = block
+  bm = masks_lib.random_mask(key, (kh * kw, cin // br, cout // bc), sparsity,
+                             dtype)
+  return expand_from_tap_blocks(bm, shape, block)
+
+
 def blockwise_drop_grow(mask, weights, score_drop, score_grow, drop_fraction,
                         block: Tuple[int, int], grow_tensor=None,
                         reinit_when_same: bool = False):
@@ -89,22 +144,27 @@ def blockwise_drop_grow(mask, weights, score_drop, score_grow, drop_fraction,
   Scores pool by sum over blocks; the element mask is the broadcast of the
   block decision.  Newly grown blocks' weights re-initialize from
   `grow_tensor` (zeros default), and new_connections marks every element of
-  a grown block.
+  a grown block.  Spatial conv kernels pool per tap (is_tap_layer); 2D
+  kernels and 1x1 convs pool over the 2D matmul view.
   """
   from rigl_tpu.sparsity import update as update_lib
 
   shape = mask.shape
-  block_mask = (pool_to_blocks(mask.astype(jnp.float32), block, 'max'))
-  bd = pool_to_blocks(jnp.asarray(score_drop, jnp.float32), block, 'sum')
-  bg = pool_to_blocks(jnp.asarray(score_grow, jnp.float32), block, 'sum')
+  if is_tap_layer(shape, block):
+    pool, expand = pool_to_tap_blocks, expand_from_tap_blocks
+  else:
+    pool, expand = pool_to_blocks, expand_from_blocks
+  block_mask = pool(mask.astype(jnp.float32), block, 'max')
+  bd = pool(jnp.asarray(score_drop, jnp.float32), block, 'sum')
+  bg = pool(jnp.asarray(score_grow, jnp.float32), block, 'sum')
 
   res = update_lib.drop_grow_update(
       block_mask, jnp.zeros_like(block_mask), bd, bg, drop_fraction,
       grow_tensor=jnp.zeros_like(block_mask),
       reinit_when_same=reinit_when_same)
 
-  new_mask = expand_from_blocks(res.mask, shape, block).astype(mask.dtype)
-  new_conn = expand_from_blocks(
+  new_mask = expand(res.mask, shape, block).astype(mask.dtype)
+  new_conn = expand(
       res.new_connections.astype(jnp.float32), shape, block) == 1.0
   if grow_tensor is None:
     grow_tensor = jnp.zeros_like(weights)
@@ -115,20 +175,22 @@ def blockwise_drop_grow(mask, weights, score_drop, score_grow, drop_fraction,
 
 def block_executable_layers(masks, block: Tuple[int, int],
                             conv3x3: bool = False):
-  """Mask paths whose layers can execute on the block-skipping matmul.
+  """Mask paths whose layers can execute on the block-skipping kernels.
 
   Eligible: 2D kernels and 1x1 conv kernels whose (rows, cols) matmul view
-  the block divides.  Blocks are trained in im2col row order (_to_2d), so
-  spatial (3x3+) convs are executable too via patch extraction
-  (ops/conv.py::block_sparse_conv2d) — but im2col materializes kh*kw x the
-  activations, which usually loses to XLA's native conv; opt in with
-  `conv3x3=True` only where measurement supports it.
+  the block divides (matmul kernels), plus — with `conv3x3=True` — spatial
+  conv kernels whose channel dims the block divides (tap layout, executed
+  by the direct shift-and-matmul conv kernel,
+  ops/pallas/block_sparse_conv.py; stride-1 layers only, the layer itself
+  falls back to a dense XLA conv otherwise).
   """
   out = []
   br, bc = block
   for path, m in masks.items():
     shape = tuple(np.shape(m))
-    if len(shape) == 4 and tuple(shape[:2]) != (1, 1) and not conv3x3:
+    if len(shape) == 4 and tuple(shape[:2]) != (1, 1):
+      if conv3x3 and is_tap_layer(shape, block):
+        out.append(path)
       continue
     if len(shape) not in (2, 4):
       continue
@@ -150,16 +212,37 @@ def block_mask_collection(masks, block: Tuple[int, int], paths=None,
   trivial fused reshape+reduce (+ one small argsort for packed layers).
 
   Entry forms (ops/conv.py dispatches on them):
-    * (rows/br, cols/bc) int32 occupancy -> v3 kernel;
-    * {'cols', 'rows'} flat column-major packing -> v4 kernel, emitted when
-      `static_counts` (SparseTraining.static_block_counts) pins the
-      layer's active count.
+    * (rows/br, cols/bc) int32 occupancy -> v3 matmul kernel;
+    * {'cols', 'rows'} flat column-major packing -> v4 matmul kernel,
+      emitted when `static_counts` (SparseTraining.static_block_counts)
+      pins the layer's active count;
+    * (kh*kw, cin/bk, cout/bn) tap occupancy / {'cols','rows','taps'}
+      packing -> direct block-sparse conv kernel (spatial convs).
   """
   if paths is None:
     paths = block_executable_layers(masks, block, conv3x3=conv3x3)
   static_counts = static_counts or {}
   entries = {}
   for path in paths:
+    shape = tuple(np.shape(masks[path]))
+    if is_tap_layer(shape, block):
+      occ = (pool_to_tap_blocks(masks[path].astype(jnp.float32), block,
+                                'max') > 0).astype(jnp.int32)
+      # The tap conv kernel sizes its grid by the active count, which must
+      # be static: either pinned by the caller (static_block_counts) or
+      # read off a concrete (untraced) mask; traced masks without a pinned
+      # count are not executable and are skipped.
+      if path in static_counts:
+        n_act = static_counts[path]
+      else:
+        try:
+          n_act = int(occ.sum())
+        except jax.errors.ConcretizationTypeError:
+          continue
+      from rigl_tpu.ops.pallas.block_sparse_conv import pack_tap_active
+      cols_a, rows_a, taps_a = pack_tap_active(occ, n_act)
+      entries[path] = {'cols': cols_a, 'rows': rows_a, 'taps': taps_a}
+      continue
     occ = (pool_to_blocks(masks[path].astype(jnp.float32), block, 'max')
            > 0).astype(jnp.int32)
     if path in static_counts:
@@ -186,8 +269,11 @@ def nest_entries(entries):
 def random_block_mask(key: jax.Array, shape: Tuple[int, ...],
                       sparsity: float, block: Tuple[int, int],
                       dtype=jnp.float32) -> jnp.ndarray:
-  """Random mask with exact block-level sparsity."""
+  """Random mask with exact block-level sparsity (tap layout for spatial
+  convs, 2D matmul-view layout otherwise)."""
   from rigl_tpu.sparsity import masks as masks_lib
+  if is_tap_layer(shape, block):
+    return random_tap_block_mask(key, shape, sparsity, block, dtype)
   rows, cols = block_shape_for(shape, block)
   br, bc = block
   bm = masks_lib.random_mask(key, (rows // br, cols // bc), sparsity, dtype)

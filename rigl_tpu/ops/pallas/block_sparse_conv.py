@@ -1,0 +1,283 @@
+"""Direct block-sparse spatial conv: shift-and-matmul, no im2col.
+
+The FLOP mass of a sparse ResNet sits in 3x3 convs whose ERK sparsity is
+high (group3/4 at 80% overall ERK are ~85-92% sparse) but which the matmul
+kernels (v3/v4) cannot serve: im2col materializes kh*kw x the activations,
+which loses to XLA's dense conv on HBM bandwidth (PERF.md round-1).
+
+This kernel exploits a layout identity instead.  Compute the conv on the
+*spatially padded* output grid: with x padded to (N, H+2ph, W+2pw, Cin) and
+flattened to rows r = (n, hp, wp), the contribution of tap (dy, dx) to
+output row r is exactly input row r + delta_t where
+
+    delta_t = (dy - ph) * Wp + (dx - pw)        (a compile-time constant)
+
+— reads that would cross an image row or image boundary land on zero padding
+rows, which is precisely SAME-conv semantics.  So a stride-1 SAME conv is a
+sum of kh*kw constant row-shifts of one flattened 2D activation buffer, each
+a (Cin x Cout) matmul — and with per-tap block masks
+(ops/block_mask.py tap layout), each tap is *block-sparse*: the kernel's
+grid enumerates only active (tap, cin-block, cout-block) triples (the v4
+flat-packing idea), so both HBM weight traffic and MXU work scale with
+density.  Activations are read once per bm-row tile (plus a 2*halo overlap,
+halo = ph*Wp + pw rows), not kh*kw times.
+
+Padded-grid overhead: outputs at pad positions are discarded — a factor
+(Hp*Wp)/(H*W) of wasted rows (1.31x at 14x14, 1.65x at 7x7), far below the
+kh*kw = 9x of im2col and applied only to the ~10-15% of blocks that are
+active.
+
+Backward: dx is the SAME kernel with spatially flipped taps, per-tap
+transposed blocks, and w9[t]^T (the adjoint of pad->shift-sum->crop is
+crop->flipped-shift-sum->pad).  dw is emitted as XLA's native
+conv-backward-filter (batch<->feature swapped dimension numbers) times the
+expanded mask — dot_general formulations of dw force layout conversions
+inside conv models (PERF.md).
+
+Reference: this implements the *executable* form of the mask semantics in
+sparse_optimizers_base.py:276-343 (drop/grow) for spatial convs; the
+reference computed dense math under element masks everywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def pack_tap_active(occ3: jnp.ndarray, n_active: int):
+  """(T, K/bk, N/bn) occupancy -> (cols, rows, taps) of the n_active active
+  blocks, column-major by cout-block (so each output column is one
+  contiguous run), each padded with one sentinel entry (-1 / 0 / 0).
+
+  `n_active` must equal the true active count — static through training for
+  drop/grow-family block masks (SparseTraining.static_block_counts).
+  """
+  t_dim, nk, nn = occ3.shape
+  # Column-major: all active blocks of cout-column j are contiguous.
+  flat_cm = occ3.astype(jnp.int32).transpose(2, 0, 1).reshape(-1)
+  order = jnp.argsort(-flat_cm, stable=True)[:n_active].astype(jnp.int32)
+  cols = order // (t_dim * nk)
+  rem = order % (t_dim * nk)
+  taps = rem // nk
+  rows = rem % nk
+  cols = jnp.concatenate([cols, jnp.full((1,), -1, jnp.int32)])
+  rows = jnp.concatenate([rows, jnp.zeros((1,), jnp.int32)])
+  taps = jnp.concatenate([taps, jnp.zeros((1,), jnp.int32)])
+  return cols, rows, taps
+
+
+def _occupancy3(cols, rows, taps, t_dim, nk, nn):
+  """Reconstructs the (T, K/bk, N/bn) occupancy from the packing."""
+  occ = jnp.zeros((t_dim, nk, nn), jnp.int32)
+  return occ.at[taps[:-1], rows[:-1], cols[:-1]].set(1)
+
+
+def _conv_kernel(cols_ref, rows_ref, deltas_ref, x_hbm, w_hbm, o_ref,
+                 acc_ref, x_buf, w_buf, sem_x, sem_w, *, bk, bn, bm, halo):
+  i = pl.program_id(0)
+  s = pl.program_id(1)
+  ni = pl.num_programs(0)
+  ns = pl.num_programs(1)
+  j = cols_ref[s]
+
+  def x_copy(pi, slot):
+    return pltpu.make_async_copy(
+        x_hbm.at[pl.ds(pi * bm, bm + 2 * halo), :], x_buf.at[slot],
+        sem_x.at[slot])
+
+  def w_copy(si, slot):
+    return pltpu.make_async_copy(
+        w_hbm.at[taps_idx(si), pl.ds(rows_ref[si] * bk, bk),
+                 pl.ds(cols_ref[si] * bn, bn)],
+        w_buf.at[slot], sem_w.at[slot])
+
+  def taps_idx(si):
+    # deltas_ref doubles as the tap list: entry = tap * 2**20 + row offset.
+    return deltas_ref[si] // (2 ** 20)
+
+  # --- x row panel: fetched once per grid row, double-buffered across i ---
+  @pl.when((i == 0) & (s == 0))
+  def _():
+    x_copy(0, 0).start()
+
+  @pl.when(s == 0)
+  def _():
+    x_copy(i, jax.lax.rem(i, 2)).wait()
+
+    @pl.when(i + 1 < ni)
+    def _():
+      x_copy(i + 1, jax.lax.rem(i + 1, 2)).start()
+
+  # --- w tile: double-buffered across s (v4 pattern) ---------------------
+  @pl.when(s == 0)
+  def _():
+    w_copy(0, 0).start()
+
+  slot = jax.lax.rem(s, 2)
+
+  @pl.when(s + 1 < ns)
+  def _():
+    w_copy(s + 1, 1 - slot).start()
+
+  w_copy(s, slot).wait()
+  delta = deltas_ref[s] % (2 ** 20)
+  x_tile = x_buf[jax.lax.rem(i, 2), pl.ds(delta, bm),
+                 pl.ds(rows_ref[s] * bk, bk)]
+  prod = jnp.dot(x_tile, w_buf[slot], preferred_element_type=jnp.float32)
+
+  prev_j = cols_ref[jax.lax.max(s - 1, 0)]
+  is_first = (s == 0) | (prev_j != j)
+  # select, not multiply-by-flag: the scratch is uninitialized on the first
+  # visit of a column and 0 * garbage would still poison the accumulator.
+  acc_ref[:] = jnp.where(is_first, prod, acc_ref[:] + prod)
+
+  next_j = cols_ref[s + 1]  # sentinel makes this safe at s == ns-1
+  is_last = (s + 1 == ns) | (next_j != j)
+
+  @pl.when(is_last)
+  def _():
+    o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _shift_matmul(x2d_padded, w9, cols, rows, deltas, m_pad, halo, block, bm,
+                  interpret):
+  """Core pallas call on the flattened padded grid.
+
+  x2d_padded: (halo + m_pad + halo, Cin); w9: (T, Cin, Cout);
+  deltas[s] = taps[s] * 2**20 + (halo + delta_tap) packed in one scalar
+  array (scalar-prefetch operands are cheapest as a single vector).
+  Returns (m_pad, Cout) WITHOUT empty-column zeroing.
+  """
+  t_dim, cin, cout = w9.shape
+  bk, bn = block
+  n_active = cols.shape[0] - 1
+  kernel = functools.partial(_conv_kernel, bk=bk, bn=bn, bm=bm, halo=halo)
+  return pl.pallas_call(
+      kernel,
+      grid_spec=pltpu.PrefetchScalarGridSpec(
+          num_scalar_prefetch=3,
+          grid=(m_pad // bm, n_active),
+          in_specs=[
+              pl.BlockSpec(memory_space=pl.ANY),   # x stays in HBM
+              pl.BlockSpec(memory_space=pl.ANY),   # w stays in HBM
+          ],
+          out_specs=pl.BlockSpec((bm, bn), lambda i, s, c, r, d: (i, c[s])),
+          scratch_shapes=[
+              pltpu.VMEM((bm, bn), jnp.float32),
+              pltpu.VMEM((2, bm + 2 * halo, cin), x2d_padded.dtype),
+              pltpu.VMEM((2, bk, bn), w9.dtype),
+              pltpu.SemaphoreType.DMA((2,)),
+              pltpu.SemaphoreType.DMA((2,)),
+          ],
+      ),
+      out_shape=jax.ShapeDtypeStruct((m_pad, cout), x2d_padded.dtype),
+      interpret=interpret,
+  )(cols, rows, deltas, x2d_padded, w9)
+
+
+def _conv_impl(x, w4d, packing, block, bm, interpret):
+  """y = SAME-conv(x, expanded(tap mask) * w4d), stride 1, NHWC.
+
+  packing: {'cols','rows','taps'} flat tap packing (pack_tap_active).
+  """
+  n, h, w_dim, cin = x.shape
+  kh, kw, _, cout = w4d.shape
+  bk, bn = block
+  if cin % bk or cout % bn:
+    raise ValueError(f'channels ({cin},{cout}) must divide block {block}')
+  ph, pw = kh // 2, kw // 2
+  hp, wp = h + 2 * ph, w_dim + 2 * pw
+  halo = ph * wp + pw
+  if halo >= 2 ** 20:
+    raise ValueError(f'halo {halo} overflows the tap/delta packing')
+  m = n * hp * wp
+  m_pad = -(-m // bm) * bm
+
+  cols, rows, taps = packing['cols'], packing['rows'], packing['taps']
+  n_active = cols.shape[0] - 1
+  if n_active <= 0:
+    return jnp.zeros((n, h, w_dim, cout), x.dtype)
+
+  x_pad = jnp.pad(x, [(0, 0), (ph, ph), (pw, pw), (0, 0)])
+  x2d = x_pad.reshape(m, cin)
+  x2d = jnp.pad(x2d, [(halo, halo + m_pad - m), (0, 0)])
+  w9 = w4d.reshape(kh * kw, cin, cout)
+  deltas = taps * (2 ** 20) + (
+      halo + (taps // kw - ph) * wp + (taps % kw - pw)).astype(jnp.int32)
+
+  y2d = _shift_matmul(x2d, w9, cols, rows, deltas, m_pad, halo, block, bm,
+                      interpret)
+  # Columns with no active block are never visited by the kernel; their
+  # output tiles hold garbage — select zeros there (not multiply: 0 * NaN).
+  occ3 = _occupancy3(cols, rows, taps, kh * kw, cin // bk, cout // bn)
+  col_active = occ3.max(axis=(0, 1))
+  y2d = jnp.where(jnp.repeat(col_active, bn)[None, :] != 0, y2d, 0)
+  y = y2d[:m].reshape(n, hp, wp, cout)
+  return y[:, ph:ph + h, pw:pw + w_dim, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def block_sparse_conv_tap(x, w4d, packing,
+                          block: Tuple[int, int] = (128, 128),
+                          bm: int = 512,
+                          interpret: Optional[bool] = None):
+  """Stride-1 SAME NHWC conv through the tap-block-skipping kernel.
+
+  Args:
+    x: (N, H, W, Cin).
+    w4d: (kh, kw, Cin, Cout), odd kh/kw.
+    packing: {'cols','rows','taps'} from pack_tap_active — active
+      (tap, cin-block, cout-block) triples, column-major, one sentinel.
+  """
+  if interpret is None:
+    interpret = jax.default_backend() == 'cpu'
+  return _conv_impl(x, w4d, packing, block, bm, interpret)
+
+
+def _tap_fwd(x, w4d, packing, block, bm, interpret):
+  if interpret is None:
+    interpret = jax.default_backend() == 'cpu'
+  return _conv_impl(x, w4d, packing, block, bm, interpret), (x, w4d, packing)
+
+
+def _tap_bwd(block, bm, interpret, residuals, gy):
+  from rigl_tpu.ops.block_mask import expand_from_tap_blocks
+  if interpret is None:
+    interpret = jax.default_backend() == 'cpu'
+  x, w4d, packing = residuals
+  kh, kw, cin, cout = w4d.shape
+  bk, bn = block
+  t_dim = kh * kw
+  occ3 = _occupancy3(packing['cols'], packing['rows'], packing['taps'],
+                     t_dim, cin // bk, cout // bn)
+  n_active = packing['cols'].shape[0] - 1
+
+  # dx: flipped taps (t' = T-1-t), per-tap transposed blocks and weights.
+  occ3_t = occ3[::-1].transpose(0, 2, 1)
+  cols_t, rows_t, taps_t = pack_tap_active(occ3_t, n_active)
+  w_t = jnp.flip(w4d, (0, 1)).transpose(0, 1, 3, 2)
+  dx = _conv_impl(gy, w_t, {'cols': cols_t, 'rows': rows_t, 'taps': taps_t},
+                  (bn, bk), bm, interpret)
+
+  # dw: XLA's native conv-backward-filter (batch<->feature swapped dims) on
+  # the 4D tensors, masked to active blocks.
+  ph, pw = kh // 2, kw // 2
+  x_pad = jnp.pad(x, [(0, 0), (ph, ph), (pw, pw), (0, 0)])
+  dw4 = jax.lax.conv_general_dilated(
+      x_pad, gy, window_strides=(1, 1), padding='VALID',
+      dimension_numbers=('CHWN', 'IHWO', 'NHWC'),
+      preferred_element_type=jnp.float32)          # (Cin, kh, kw, Cout)
+  dw = jnp.transpose(dw4, (1, 2, 0, 3))
+  mask = expand_from_tap_blocks(occ3.astype(jnp.float32),
+                                (kh, kw, cin, cout), block)
+  dw = (dw * mask).astype(w4d.dtype)
+  return dx, dw, None
+
+
+block_sparse_conv_tap.defvjp(_tap_fwd, _tap_bwd)

@@ -113,12 +113,27 @@ class SparseTraining:
   def _layer_block(self, shape) -> Optional[Tuple[int, int]]:
     if self.block is None:
       return None
-    from rigl_tpu.ops.block_mask import block_shape_for
-    rows, cols = block_shape_for(tuple(shape), self.block)
+    from rigl_tpu.ops.block_mask import block_shape_for, is_tap_layer
+    shape = tuple(shape)
+    if len(shape) == 4 and shape[:2] != (1, 1):
+      # Spatial convs: per-tap block granularity (ops/block_mask.py).
+      return self.block if is_tap_layer(shape, self.block) else None
+    rows, cols = block_shape_for(shape, self.block)
     br, bc = self.block
     if rows % br == 0 and cols % bc == 0:
       return self.block
     return None
+
+  def _n_blocks(self, shape) -> int:
+    """Total block cells of a block-eligible layer."""
+    from rigl_tpu.ops.block_mask import block_shape_for, is_tap_layer
+    br, bc = self.block
+    shape = tuple(shape)
+    if is_tap_layer(shape, self.block):
+      kh, kw, cin, cout = shape
+      return kh * kw * (cin // br) * (cout // bc)
+    rows, cols = block_shape_for(shape, self.block)
+    return (rows // br) * (cols // bc)
 
   # ------------------------------------------------------------------ init --
   def init(self, key: jax.Array, params: PyTree
@@ -202,11 +217,22 @@ class SparseTraining:
     """
     if self.block is None or not masks:
       return None
-    from rigl_tpu.ops.block_mask import pool_to_blocks
+    from rigl_tpu.ops.block_mask import is_tap_layer, pool_to_blocks
+    from rigl_tpu.ops.block_mask import pool_to_tap_blocks
     counts = self.static_block_counts()
     packs: Dict[str, Any] = {}
     for p, m in masks.items():
       if self._layer_block(m.shape) is None:
+        continue
+      if is_tap_layer(m.shape, self.block):
+        # Spatial convs execute on the tap kernel, which needs the static
+        # flat packing; without an invariant count they stay dense-executed.
+        if p in counts:
+          from rigl_tpu.ops.pallas.block_sparse_conv import pack_tap_active
+          occ3 = (pool_to_tap_blocks(m.astype(jnp.float32), self.block,
+                                     'max') > 0).astype(jnp.int32)
+          cols, rows, taps = pack_tap_active(occ3, counts[p])
+          packs[p] = {'cols': cols, 'rows': rows, 'taps': taps}
         continue
       occ = (pool_to_blocks(m.astype(jnp.float32), self.block, 'max')
              > 0).astype(jnp.int32)
@@ -235,14 +261,11 @@ class SparseTraining:
     if self.algo.name not in ('set', 'rigl', 'rigl_inverted', 'static',
                               'scratch'):
       return {}
-    from rigl_tpu.ops.block_mask import block_shape_for
-    br, bc = self.block
     out: Dict[str, int] = {}
     for p, shape in self.layer_shapes.items():
       if self._layer_block(shape) is None:
         continue
-      rows, cols = block_shape_for(shape, self.block)
-      n_blocks = (rows // br) * (cols // bc)
+      n_blocks = self._n_blocks(shape)
       n_zeros = distributions.get_n_zeros(n_blocks, self.sparsities[p])
       out[p] = n_blocks - n_zeros
     return out

@@ -54,21 +54,48 @@ def test_conv1x1_block_execution_matches_dense(stride):
 
 @pytest.mark.parametrize('stride', [1, 2])
 def test_conv3x3_block_execution_matches_dense(stride):
-  """Spatial convs execute via im2col + block matmul when opted in; the
-  trained block layout (im2col row order, block_mask._to_2d) matches the
-  patch feature order exactly."""
+  """Spatial convs execute via the direct tap kernel (stride 1) or fall
+  back to the dense XLA conv (strided layers); semantics identical."""
   dense, blocked, params, x = _conv_pair(3, stride)
   kshape = params['params']['conv']['kernel'].shape  # (3, 3, 8, 16)
   mask = bm_lib.random_block_mask(jax.random.key(5), kshape, 0.5, BLOCK)
+  assert bm_lib.is_tap_layer(kshape, BLOCK)
   eff = jax.tree.map(lambda p: p, params)
   eff['params']['conv']['kernel'] = eff['params']['conv']['kernel'] * mask
   want = dense.apply(eff, x)
   col = bm_lib.block_mask_collection({'conv/kernel': mask}, BLOCK,
                                      conv3x3=True)
   assert col, '3x3 layer must be block-executable with conv3x3=True'
+  entry = col['conv']['kernel']
+  assert isinstance(entry, dict) and 'taps' in entry
   got = blocked.apply({**eff, 'block_masks': col}, x)
   np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                              rtol=1e-4, atol=1e-5)
+
+
+def test_conv3x3_tap_backward_matches_dense_at_active_blocks():
+  dense, blocked, params, x = _conv_pair(3, 1)
+  kshape = params['params']['conv']['kernel'].shape
+  mask = bm_lib.random_block_mask(jax.random.key(7), kshape, 0.5, BLOCK)
+  col = bm_lib.block_mask_collection({'conv/kernel': mask}, BLOCK,
+                                     conv3x3=True)
+
+  def loss_b(p, xin):
+    return jnp.sum(blocked.apply({**p, 'block_masks': col}, xin) ** 2)
+
+  def loss_d(p, xin):
+    eff = jax.tree.map(lambda q: q, p)
+    eff['params']['conv']['kernel'] = eff['params']['conv']['kernel'] * mask
+    return jnp.sum(dense.apply(eff, xin) ** 2)
+
+  gb = jax.grad(loss_b, argnums=(0, 1))(params, x)
+  gd = jax.grad(loss_d, argnums=(0, 1))(params, x)
+  np.testing.assert_allclose(np.asarray(gb[1]), np.asarray(gd[1]),
+                             rtol=1e-4, atol=1e-5)
+  dwb = np.asarray(gb[0]['params']['conv']['kernel'])
+  dwd = np.asarray(gd[0]['params']['conv']['kernel']) * np.asarray(mask)
+  np.testing.assert_allclose(dwb * np.asarray(mask), dwd, rtol=1e-4,
+                             atol=1e-5)
 
 
 def test_conv3x3_falls_back_to_dense_conv():
@@ -107,13 +134,16 @@ def test_block_conv_backward_matches_dense_at_active_blocks():
 
 
 class _TinyNet(nn.Module):
-  """1x1-conv stack: every conv is block-eligible under BLOCK=(8, 8)."""
+  """Conv stack with 1x1 and 3x3 layers, all block-eligible under (8, 8)."""
   block: tuple = None
 
   @nn.compact
   def __call__(self, x, train: bool = False):
     x = common.ConvFixedPad(16, 1, 1, block=self.block, block_bm=BM,
                             name='c1')(x)
+    x = nn.relu(x)
+    x = common.ConvFixedPad(16, 3, 1, block=self.block, block_bm=BM,
+                            name='c3x3')(x)
     x = nn.relu(x)
     x = common.ConvFixedPad(32, 1, 2, block=self.block, block_bm=BM,
                             name='c2')(x)
@@ -130,7 +160,8 @@ def _make(block_exec, algo):
   state = steps.init_train_state(jax.random.key(0), model, st, (4, 8, 8, 8),
                                  has_batch_stats=False)
   fn = steps.make_train_step(model, st, has_batch_stats=False,
-                             block=BLOCK if block_exec else None)
+                             block=BLOCK if block_exec else None,
+                             block_conv3x3=block_exec)
   return jax.jit(fn), state
 
 
