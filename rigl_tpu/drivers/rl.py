@@ -1,9 +1,13 @@
 """Sparse RL driver — parity with rigl/rl/train.py and the tfagents
-entry points: DQN or PPO on the pure-JAX CartPole with any sparse training
-method.
+entry points: DQN or PPO with any sparse training method, on the pure-JAX
+envs (CartPole for MLP nets, MinAtar-style Breakout for the conv
+Nature-DQN/Impala nets, matching the reference's network zoo
+rl/dqn_agents.py:103-306).
 
   python -m rigl_tpu.drivers.rl --agent=dqn --training_method=rigl \
       --end_sparsity=0.9 --total_env_steps=20000
+  python -m rigl_tpu.drivers.rl --agent=dqn --env=breakout \
+      --network=nature --width=0.5 --training_method=set
 """
 
 from __future__ import annotations
@@ -14,6 +18,12 @@ from absl import app, flags
 
 FLAGS = flags.FLAGS
 flags.DEFINE_string('agent', 'dqn', 'dqn | ppo')
+flags.DEFINE_string('env', 'cartpole', 'cartpole | breakout')
+flags.DEFINE_string('network', 'auto',
+                    'auto | mlp | nature | impala (conv nets need an '
+                    'image env, i.e. breakout)')
+flags.DEFINE_float('width', 1.0, 'network width multiplier '
+                   '(dqn_agents.py:211-306)')
 flags.DEFINE_string('training_method', 'rigl',
                     'rigl|set|static|momentum|snip|dnw|none')
 flags.DEFINE_float('end_sparsity', 0.9, '')
@@ -31,7 +41,24 @@ flags.DEFINE_string('output_dir', None, '')
 def main(argv):
   del argv
   from rigl_tpu.rl import CartPole, MLPQNetwork
-  env = CartPole()
+  from rigl_tpu.rl.envs import Breakout
+  from rigl_tpu.rl.networks import ImpalaNet, NatureDQN
+  env = {'cartpole': CartPole, 'breakout': Breakout}[FLAGS.env]()
+  net_kind = FLAGS.network
+  if net_kind == 'auto':
+    net_kind = ('nature' if FLAGS.env == 'breakout'
+                and FLAGS.agent == 'dqn' else 'mlp')
+  if FLAGS.agent == 'ppo' and net_kind != 'mlp':
+    raise ValueError('PPO uses the MLP actor-critic towers '
+                     '(rl/ppo.py); conv networks are DQN-only')
+  if net_kind == 'mlp':
+    network = MLPQNetwork(env.num_actions)
+  elif net_kind == 'nature':
+    network = NatureDQN(num_actions=env.num_actions, width=FLAGS.width)
+  elif net_kind == 'impala':
+    network = ImpalaNet(num_actions=env.num_actions, width=FLAGS.width)
+  else:
+    raise ValueError(f'unknown network {net_kind!r}')
   method = FLAGS.training_method
   if method in ('none', 'dense'):
     method = 'none'
@@ -47,7 +74,7 @@ def main(argv):
         drop_fraction=FLAGS.drop_fraction,
         learning_rate=FLAGS.learning_rate,
         seed=FLAGS.seed)
-    agent = SparseDQN(MLPQNetwork(env.num_actions), env, cfg)
+    agent = SparseDQN(network, env, cfg)
     result = agent.train(FLAGS.total_env_steps, log_every=FLAGS.log_every,
                          progress_fn=print)
   elif FLAGS.agent == 'ppo':

@@ -92,8 +92,11 @@ class _BlockConv(nn.Module):
     kernel = kernel.astype(self.dtype)
     block_mask = self.get_variable('block_masks', 'kernel', None)
     is_tap = isinstance(block_mask, dict) and 'taps' in block_mask
-    if (block_mask is not None and self.block is not None
-        and not (is_tap and (self.strides != 1 or k == 1))):
+    if is_tap:
+      from rigl_tpu.ops.pallas.block_sparse_conv import tap_batch_ok
+      if self.strides != 1 or k == 1 or not tap_batch_ok(x.shape[0]):
+        block_mask = None  # dense fallback (mask already in the weights)
+    if block_mask is not None and self.block is not None:
       if is_tap:
         # Spatial kernel, stride 1: the direct shift-and-matmul tap kernel.
         from rigl_tpu.ops.pallas.block_sparse_conv import block_sparse_conv_tap

@@ -18,9 +18,12 @@ sum of kh*kw constant row-shifts of one flattened 2D activation buffer, each
 a (Cin x Cout) matmul — and with per-tap block masks
 (ops/block_mask.py tap layout), each tap is *block-sparse*: the kernel's
 grid enumerates only active (tap, cin-block, cout-block) triples (the v4
-flat-packing idea), so both HBM weight traffic and MXU work scale with
-density.  Activations are read once per bm-row tile (plus a 2*halo overlap,
-halo = ph*Wp + pw rows), not kh*kw times.
+flat-packing idea), so MXU work and weight traffic scale with density.
+Each grid step DMAs its exact (bm x bk) shifted x tile from HBM
+(double-buffered against the dot) — total activation traffic is
+density * kh*kw * one-full-read, i.e. *below* one full read once tap
+density < 1/(kh*kw), and ~1-2x of it at ResNet ERK densities; far below
+the kh*kw x writes+reads of im2col.
 
 Padded-grid overhead: outputs at pad positions are discarded — a factor
 (Hp*Wp)/(H*W) of wasted rows (1.31x at 14x14, 1.65x at 7x7), far below the
@@ -78,58 +81,62 @@ def _occupancy3(cols, rows, taps, t_dim, nk, nn):
   return occ.at[taps[:-1], rows[:-1], cols[:-1]].set(1)
 
 
+# Sublane-tile alignment required of dynamic DMA row starts (bf16 VMEM
+# tiling is (16, 128); 16 also covers the f32 (8, 128) case).
+_ALIGN = 16
+
+
+def tap_batch_ok(n: int, interpret: Optional[bool] = None) -> bool:
+  """True if a batch of n images can run the tap kernel (alignment)."""
+  if interpret is None:
+    interpret = jax.default_backend() == 'cpu'
+  return interpret or n % _ALIGN == 0
+
+
 def _conv_kernel(cols_ref, rows_ref, deltas_ref, x_hbm, w_hbm, o_ref,
                  acc_ref, x_buf, w_buf, sem_x, sem_w, *, bk, bn, bm, halo):
   i = pl.program_id(0)
   s = pl.program_id(1)
-  ni = pl.num_programs(0)
   ns = pl.num_programs(1)
   j = cols_ref[s]
 
-  def x_copy(pi, slot):
+  # Each active block (tap, ci, j) reads x rows [i*bm + delta_tap, +bm) of
+  # the halo-padded flattened activations — DMA'd per step (DMAs take
+  # arbitrary row offsets; a VMEM-resident panel with a dynamic sublane
+  # slice does not lower in Mosaic).  Both tiles double-buffer across s, so
+  # the copies for s+1 overlap the dot for s.
+  def x_copy(si, slot):
+    # Row starts are provably sublane-aligned: the (Hp, Wp, N, C) layout
+    # makes every tap shift a multiple of N, and _conv_impl requires
+    # N % _ALIGN == 0 (multiple_of communicates it to Mosaic).
+    start = pl.multiple_of(i * bm + deltas_ref[si] % (2 ** 20), _ALIGN)
     return pltpu.make_async_copy(
-        x_hbm.at[pl.ds(pi * bm, bm + 2 * halo), :], x_buf.at[slot],
-        sem_x.at[slot])
+        x_hbm.at[pl.ds(start, bm), pl.ds(rows_ref[si] * bk, bk)],
+        x_buf.at[slot], sem_x.at[slot])
 
   def w_copy(si, slot):
+    # deltas_ref doubles as the tap list: entry = tap * 2**20 + row offset.
     return pltpu.make_async_copy(
-        w_hbm.at[taps_idx(si), pl.ds(rows_ref[si] * bk, bk),
+        w_hbm.at[deltas_ref[si] // (2 ** 20), pl.ds(rows_ref[si] * bk, bk),
                  pl.ds(cols_ref[si] * bn, bn)],
         w_buf.at[slot], sem_w.at[slot])
 
-  def taps_idx(si):
-    # deltas_ref doubles as the tap list: entry = tap * 2**20 + row offset.
-    return deltas_ref[si] // (2 ** 20)
-
-  # --- x row panel: fetched once per grid row, double-buffered across i ---
-  @pl.when((i == 0) & (s == 0))
+  @pl.when(s == 0)
   def _():
     x_copy(0, 0).start()
-
-  @pl.when(s == 0)
-  def _():
-    x_copy(i, jax.lax.rem(i, 2)).wait()
-
-    @pl.when(i + 1 < ni)
-    def _():
-      x_copy(i + 1, jax.lax.rem(i + 1, 2)).start()
-
-  # --- w tile: double-buffered across s (v4 pattern) ---------------------
-  @pl.when(s == 0)
-  def _():
     w_copy(0, 0).start()
 
   slot = jax.lax.rem(s, 2)
 
   @pl.when(s + 1 < ns)
   def _():
+    x_copy(s + 1, 1 - slot).start()
     w_copy(s + 1, 1 - slot).start()
 
+  x_copy(s, slot).wait()
   w_copy(s, slot).wait()
-  delta = deltas_ref[s] % (2 ** 20)
-  x_tile = x_buf[jax.lax.rem(i, 2), pl.ds(delta, bm),
-                 pl.ds(rows_ref[s] * bk, bk)]
-  prod = jnp.dot(x_tile, w_buf[slot], preferred_element_type=jnp.float32)
+  prod = jnp.dot(x_buf[slot], w_buf[slot],
+                 preferred_element_type=jnp.float32)
 
   prev_j = cols_ref[jax.lax.max(s - 1, 0)]
   is_first = (s == 0) | (prev_j != j)
@@ -170,7 +177,7 @@ def _shift_matmul(x2d_padded, w9, cols, rows, deltas, m_pad, halo, block, bm,
           out_specs=pl.BlockSpec((bm, bn), lambda i, s, c, r, d: (i, c[s])),
           scratch_shapes=[
               pltpu.VMEM((bm, bn), jnp.float32),
-              pltpu.VMEM((2, bm + 2 * halo, cin), x2d_padded.dtype),
+              pltpu.VMEM((2, bm, bk), x2d_padded.dtype),
               pltpu.VMEM((2, bk, bn), w9.dtype),
               pltpu.SemaphoreType.DMA((2,)),
               pltpu.SemaphoreType.DMA((2,)),
@@ -185,15 +192,28 @@ def _conv_impl(x, w4d, packing, block, bm, interpret):
   """y = SAME-conv(x, expanded(tap mask) * w4d), stride 1, NHWC.
 
   packing: {'cols','rows','taps'} flat tap packing (pack_tap_active).
+
+  Internally the padded activations are laid out spatial-major with the
+  batch dim MINOR — rows r = (hp*Wp + wp)*N + n — so every tap shift
+  delta_t = ((dy-ph)*Wp + (dx-pw)) * N is a multiple of N, which makes the
+  dynamic DMA row starts sublane-tile-aligned (Mosaic requires proof of
+  divisibility by the (16, 128) bf16 tiling).  Costs one transpose of x in
+  and of y out; XLA fuses the crop into the output transpose.
   """
   n, h, w_dim, cin = x.shape
   kh, kw, _, cout = w4d.shape
   bk, bn = block
   if cin % bk or cout % bn:
     raise ValueError(f'channels ({cin},{cout}) must divide block {block}')
+  if not interpret and n % _ALIGN:
+    raise ValueError(
+        f'batch {n} must be a multiple of {_ALIGN} for aligned tap shifts '
+        '(route this layer dense instead)')
+  if not interpret and bm % _ALIGN:
+    raise ValueError(f'bm {bm} must be a multiple of {_ALIGN}')
   ph, pw = kh // 2, kw // 2
   hp, wp = h + 2 * ph, w_dim + 2 * pw
-  halo = ph * wp + pw
+  halo = (ph * wp + pw) * n
   if halo >= 2 ** 20:
     raise ValueError(f'halo {halo} overflows the tap/delta packing')
   m = n * hp * wp
@@ -205,11 +225,12 @@ def _conv_impl(x, w4d, packing, block, bm, interpret):
     return jnp.zeros((n, h, w_dim, cout), x.dtype)
 
   x_pad = jnp.pad(x, [(0, 0), (ph, ph), (pw, pw), (0, 0)])
-  x2d = x_pad.reshape(m, cin)
+  x2d = jnp.transpose(x_pad, (1, 2, 0, 3)).reshape(m, cin)
   x2d = jnp.pad(x2d, [(halo, halo + m_pad - m), (0, 0)])
   w9 = w4d.reshape(kh * kw, cin, cout)
   deltas = taps * (2 ** 20) + (
-      halo + (taps // kw - ph) * wp + (taps % kw - pw)).astype(jnp.int32)
+      halo + ((taps // kw - ph) * wp + (taps % kw - pw)) * n
+  ).astype(jnp.int32)
 
   y2d = _shift_matmul(x2d, w9, cols, rows, deltas, m_pad, halo, block, bm,
                       interpret)
@@ -218,8 +239,8 @@ def _conv_impl(x, w4d, packing, block, bm, interpret):
   occ3 = _occupancy3(cols, rows, taps, kh * kw, cin // bk, cout // bn)
   col_active = occ3.max(axis=(0, 1))
   y2d = jnp.where(jnp.repeat(col_active, bn)[None, :] != 0, y2d, 0)
-  y = y2d[:m].reshape(n, hp, wp, cout)
-  return y[:, ph:ph + h, pw:pw + w_dim, :]
+  y = y2d[:m].reshape(hp, wp, n, cout)[ph:ph + h, pw:pw + w_dim]
+  return jnp.transpose(y, (2, 0, 1, 3))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
