@@ -297,3 +297,78 @@ def test_static_block_counts_invariant():
       distribution='uniform', default_sparsity=0.5, block=(8, 8))
   st2.init(jax.random.key(0), params)
   assert st2.static_block_counts() == {}
+
+
+# ------------------------------------------------------ tap conv kernel --
+def test_tap_pool_expand_roundtrip():
+  """Tap pooling/expansion are inverses on block-constant masks."""
+  rs = np.random.RandomState(3)
+  shape = (3, 3, 16, 24)
+  block = (8, 8)
+  bm3 = jnp.asarray(rs.rand(9, 2, 3) > 0.5, jnp.float32)
+  el = bm_lib.expand_from_tap_blocks(bm3, shape, block)
+  assert el.shape == shape
+  back = bm_lib.pool_to_tap_blocks(el, block, 'max')
+  np.testing.assert_array_equal(np.asarray(back), np.asarray(bm3))
+  # sum pooling counts elements per block
+  np.testing.assert_array_equal(
+      np.asarray(bm_lib.pool_to_tap_blocks(el, block, 'sum')),
+      np.asarray(bm3) * 64)
+
+
+def test_pack_tap_active_column_major_and_occupancy():
+  import jax
+  from rigl_tpu.ops.pallas.block_sparse_conv import (_occupancy3,
+                                                     pack_tap_active)
+  rs = np.random.RandomState(5)
+  occ = jnp.asarray(rs.rand(9, 4, 3) > 0.6, jnp.int32)
+  n = int(occ.sum())
+  cols, rows, taps = pack_tap_active(occ, n)
+  assert cols.shape == (n + 1,) and int(cols[-1]) == -1
+  # Column-major: cols nondecreasing.
+  c = np.asarray(cols[:-1])
+  assert (np.diff(c) >= 0).all()
+  # Round-trips to the same occupancy.
+  back = _occupancy3(cols, rows, taps, 9, 4, 3)
+  np.testing.assert_array_equal(np.asarray(back), np.asarray(occ))
+
+
+def test_tap_conv_matches_dense_5x5():
+  """Generic (kh, kw): a 5x5 SAME conv through the tap kernel."""
+  import jax
+  from rigl_tpu.ops.pallas.block_sparse_conv import (block_sparse_conv_tap,
+                                                     pack_tap_active)
+  key = jax.random.key(2)
+  block = (8, 8)
+  x = jax.random.normal(jax.random.fold_in(key, 1), (2, 9, 6, 8))
+  w = jax.random.normal(jax.random.fold_in(key, 2), (5, 5, 8, 16))
+  mask = bm_lib.random_tap_block_mask(jax.random.fold_in(key, 3), w.shape,
+                                      0.5, block)
+  occ3 = (bm_lib.pool_to_tap_blocks(mask, block, 'max') > 0).astype(jnp.int32)
+  packing = dict(zip(('cols', 'rows', 'taps'),
+                     pack_tap_active(occ3, int(occ3.sum()))))
+  y = block_sparse_conv_tap(x, w, packing, block, bm=16, interpret=True)
+  y_ref = jax.lax.conv_general_dilated(
+      x, w * mask, (1, 1), 'SAME',
+      dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+  np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-4,
+                             atol=1e-4)
+
+
+def test_tap_conv_empty_mask_returns_zeros():
+  import jax
+  from rigl_tpu.ops.pallas.block_sparse_conv import (block_sparse_conv_tap,
+                                                     pack_tap_active)
+  occ3 = jnp.zeros((9, 1, 2), jnp.int32)
+  packing = dict(zip(('cols', 'rows', 'taps'), pack_tap_active(occ3, 0)))
+  x = jnp.ones((2, 4, 4, 8))
+  w = jnp.ones((3, 3, 8, 16))
+  y = block_sparse_conv_tap(x, w, packing, (8, 8), bm=16, interpret=True)
+  np.testing.assert_array_equal(np.asarray(y), np.zeros((2, 4, 4, 16)))
+
+
+def test_is_tap_layer_eligibility():
+  assert bm_lib.is_tap_layer((3, 3, 128, 256), (128, 128))
+  assert not bm_lib.is_tap_layer((1, 1, 128, 256), (128, 128))  # matmul path
+  assert not bm_lib.is_tap_layer((3, 3, 64, 256), (128, 128))   # indivisible
+  assert not bm_lib.is_tap_layer((128, 256), (128, 128))        # 2D kernel
