@@ -44,10 +44,12 @@ class _ResidualBlock(nn.Module):
       shortcut = common.batch_norm(train, dtype=self.dtype,
                                    name='proj_bn')(shortcut)
     y = common.ConvFixedPad(self.features, 3, self.stride, dtype=self.dtype,
+                            block=self.block, block_bm=self.block_bm,
                             name='conv1')(x)
     y = common.batch_norm(train, dtype=self.dtype, name='bn1')(y)
     y = nn.relu(y)
     y = common.ConvFixedPad(self.features, 3, 1, dtype=self.dtype,
+                            block=self.block, block_bm=self.block_bm,
                             name='conv2')(y)
     # Final BN of each block initialized with gamma=0 so residual branches
     # start as identity (the reference relies on the TPU estimator's
@@ -82,6 +84,7 @@ class _BottleneckBlock(nn.Module):
     y = common.batch_norm(train, dtype=self.dtype, name='bn1')(y)
     y = nn.relu(y)
     y = common.ConvFixedPad(self.features, 3, self.stride, dtype=self.dtype,
+                            block=self.block, block_bm=self.block_bm,
                             name='conv2')(y)
     y = common.batch_norm(train, dtype=self.dtype, name='bn2')(y)
     y = nn.relu(y)

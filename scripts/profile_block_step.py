@@ -32,6 +32,7 @@ def capture(trace_dir):
   block = (tuple(int(v) for v in block_env.split(','))
            if block_env and method == 'rigl' else None)
   min_sp = float(os.environ.get('PROF_MIN_SPARSITY', '0.6'))
+  conv3x3 = bool(int(os.environ.get('PROF_CONV3X3', '0')))
 
   model = registry.create_model('resnet', depth=50, num_classes=1000,
                                 dtype=jnp.bfloat16, block=block)
@@ -45,7 +46,7 @@ def capture(trace_dir):
                                  (batch, image, image, 3))
   fn = jax.jit(steps.make_train_step(
       model, st, weight_decay=1e-4, label_smoothing=0.1, block=block,
-      block_min_sparsity=min_sp), donate_argnums=0)
+      block_conv3x3=conv3x3, block_min_sparsity=min_sp), donate_argnums=0)
   rng = np.random.default_rng(0)
   data = jax.device_put({
       'image': rng.normal(0, 1, (batch, image, image, 3)).astype(np.float32),
