@@ -54,9 +54,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def pack_tap_active(occ3: jnp.ndarray, n_active: int):
-  """(T, K/bk, N/bn) occupancy -> (cols, rows, taps) of the n_active active
+  """(T, K/bk, N/bn) occupancy -> (cols, rows, taps) packing of the active
   blocks, column-major by cout-block (so each output column is one
-  contiguous run), each padded with one sentinel entry (-1 / 0 / 0).
+  contiguous run).
+
+  The packing carries, per cout column, one leading DUMMY entry (tap = -1):
+  the kernel zero-initializes the column's accumulator on it, so every
+  output tile gets written even when a column has no active block — no
+  post-hoc empty-column select pass.  One sentinel entry (-1/0/0) closes
+  the list.  Total length = n_active + nn + 1, static.
 
   `n_active` must equal the true active count — static through training for
   drop/grow-family block masks (SparseTraining.static_block_counts).
@@ -69,16 +75,25 @@ def pack_tap_active(occ3: jnp.ndarray, n_active: int):
   rem = order % (t_dim * nk)
   taps = rem // nk
   rows = rem % nk
+  # One dummy per column; stable sort by column puts each dummy first
+  # within its column (dummies are concatenated in front).
+  cols = jnp.concatenate([jnp.arange(nn, dtype=jnp.int32), cols])
+  rows = jnp.concatenate([jnp.zeros((nn,), jnp.int32), rows])
+  taps = jnp.concatenate([jnp.full((nn,), -1, jnp.int32), taps])
+  order2 = jnp.argsort(cols, stable=True)
+  cols, rows, taps = cols[order2], rows[order2], taps[order2]
   cols = jnp.concatenate([cols, jnp.full((1,), -1, jnp.int32)])
   rows = jnp.concatenate([rows, jnp.zeros((1,), jnp.int32)])
-  taps = jnp.concatenate([taps, jnp.zeros((1,), jnp.int32)])
+  taps = jnp.concatenate([taps, jnp.full((1,), -1, jnp.int32)])
   return cols, rows, taps
 
 
 def _occupancy3(cols, rows, taps, t_dim, nk, nn):
-  """Reconstructs the (T, K/bk, N/bn) occupancy from the packing."""
-  occ = jnp.zeros((t_dim, nk, nn), jnp.int32)
-  return occ.at[taps[:-1], rows[:-1], cols[:-1]].set(1)
+  """Reconstructs the (T, K/bk, N/bn) occupancy from the packing
+  (dummy/sentinel entries carry tap = -1 and are ignored)."""
+  occ = jnp.zeros((t_dim + 1, nk, nn), jnp.int32)
+  occ = occ.at[taps, rows, cols].max(jnp.where(taps >= 0, 1, 0))
+  return occ[:t_dim]
 
 
 # Sublane-tile alignment required of dynamic DMA row starts (bf16 VMEM
@@ -93,31 +108,36 @@ def tap_batch_ok(n: int, interpret: Optional[bool] = None) -> bool:
   return interpret or n % _ALIGN == 0
 
 
+# deltas_ref entry encoding: tap * 2**22 + valid * 2**21 + row_offset,
+# row_offset < 2**20.  Dummy entries (column zero-init) have valid = 0.
+_OFF_BITS = 2 ** 21
+_TAP_BITS = 2 ** 22
+
+
 def _conv_kernel(cols_ref, rows_ref, deltas_ref, x_hbm, w_hbm, o_ref,
-                 acc_ref, x_buf, w_buf, sem_x, sem_w, *, bk, bn, bm, halo):
+                 acc_ref, x_buf, w_buf, sem_x, sem_w, *, bk, bn, bm):
   i = pl.program_id(0)
   s = pl.program_id(1)
   ns = pl.num_programs(1)
   j = cols_ref[s]
 
-  # Each active block (tap, ci, j) reads x rows [i*bm + delta_tap, +bm) of
-  # the halo-padded flattened activations — DMA'd per step (DMAs take
-  # arbitrary row offsets; a VMEM-resident panel with a dynamic sublane
-  # slice does not lower in Mosaic).  Both tiles double-buffer across s, so
-  # the copies for s+1 overlap the dot for s.
+  # Each active block (tap, ci, j) reads x rows [i*bm + offset_tap, +bm) of
+  # the staged flattened activations — DMA'd per step (DMAs take arbitrary
+  # row offsets; a VMEM-resident panel with a dynamic sublane slice does
+  # not lower in Mosaic).  Both tiles double-buffer across s, so the copies
+  # for s+1 overlap the dot for s.
   def x_copy(si, slot):
     # Row starts are provably sublane-aligned: the (Hp, Wp, N, C) layout
     # makes every tap shift a multiple of N, and _conv_impl requires
     # N % _ALIGN == 0 (multiple_of communicates it to Mosaic).
-    start = pl.multiple_of(i * bm + deltas_ref[si] % (2 ** 20), _ALIGN)
+    start = pl.multiple_of(i * bm + deltas_ref[si] % _OFF_BITS, _ALIGN)
     return pltpu.make_async_copy(
         x_hbm.at[pl.ds(start, bm), pl.ds(rows_ref[si] * bk, bk)],
         x_buf.at[slot], sem_x.at[slot])
 
   def w_copy(si, slot):
-    # deltas_ref doubles as the tap list: entry = tap * 2**20 + row offset.
     return pltpu.make_async_copy(
-        w_hbm.at[deltas_ref[si] // (2 ** 20), pl.ds(rows_ref[si] * bk, bk),
+        w_hbm.at[deltas_ref[si] // _TAP_BITS, pl.ds(rows_ref[si] * bk, bk),
                  pl.ds(cols_ref[si] * bn, bn)],
         w_buf.at[slot], sem_w.at[slot])
 
@@ -135,13 +155,18 @@ def _conv_kernel(cols_ref, rows_ref, deltas_ref, x_hbm, w_hbm, o_ref,
 
   x_copy(s, slot).wait()
   w_copy(s, slot).wait()
-  prod = jnp.dot(x_buf[slot], w_buf[slot],
-                 preferred_element_type=jnp.float32)
+  valid = (deltas_ref[s] // _OFF_BITS) % 2 != 0
+  prod = jnp.where(
+      valid,
+      jnp.dot(x_buf[slot], w_buf[slot], preferred_element_type=jnp.float32),
+      jnp.zeros((bm, bn), jnp.float32))
 
   prev_j = cols_ref[jax.lax.max(s - 1, 0)]
   is_first = (s == 0) | (prev_j != j)
   # select, not multiply-by-flag: the scratch is uninitialized on the first
   # visit of a column and 0 * garbage would still poison the accumulator.
+  # Every column's run starts with its dummy entry (prod = 0), so empty
+  # columns still write a zero tile.
   acc_ref[:] = jnp.where(is_first, prod, acc_ref[:] + prod)
 
   next_j = cols_ref[s + 1]  # sentinel makes this safe at s == ns-1
@@ -152,24 +177,24 @@ def _conv_kernel(cols_ref, rows_ref, deltas_ref, x_hbm, w_hbm, o_ref,
     o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
-def _shift_matmul(x2d_padded, w9, cols, rows, deltas, m_pad, halo, block, bm,
+def _shift_matmul(x2d_staged, w9, cols, rows, deltas, m_pad, block, bm,
                   interpret):
-  """Core pallas call on the flattened padded grid.
+  """Core pallas call on the staged flattened padded grid.
 
-  x2d_padded: (halo + m_pad + halo, Cin); w9: (T, Cin, Cout);
-  deltas[s] = taps[s] * 2**20 + (halo + delta_tap) packed in one scalar
-  array (scalar-prefetch operands are cheapest as a single vector).
-  Returns (m_pad, Cout) WITHOUT empty-column zeroing.
+  x2d_staged: (rows >= max read, Cin) zero-padded staging buffer;
+  w9: (T, Cin, Cout); deltas: per-entry tap/valid/row-offset encoding
+  (one scalar-prefetch vector).  Returns (m_pad, Cout), every output tile
+  written (dummy entries cover empty columns).
   """
   t_dim, cin, cout = w9.shape
   bk, bn = block
-  n_active = cols.shape[0] - 1
-  kernel = functools.partial(_conv_kernel, bk=bk, bn=bn, bm=bm, halo=halo)
+  n_entries = cols.shape[0] - 1
+  kernel = functools.partial(_conv_kernel, bk=bk, bn=bn, bm=bm)
   return pl.pallas_call(
       kernel,
       grid_spec=pltpu.PrefetchScalarGridSpec(
           num_scalar_prefetch=3,
-          grid=(m_pad // bm, n_active),
+          grid=(m_pad // bm, n_entries),
           in_specs=[
               pl.BlockSpec(memory_space=pl.ANY),   # x stays in HBM
               pl.BlockSpec(memory_space=pl.ANY),   # w stays in HBM
@@ -177,15 +202,15 @@ def _shift_matmul(x2d_padded, w9, cols, rows, deltas, m_pad, halo, block, bm,
           out_specs=pl.BlockSpec((bm, bn), lambda i, s, c, r, d: (i, c[s])),
           scratch_shapes=[
               pltpu.VMEM((bm, bn), jnp.float32),
-              pltpu.VMEM((2, bm, bk), x2d_padded.dtype),
+              pltpu.VMEM((2, bm, bk), x2d_staged.dtype),
               pltpu.VMEM((2, bk, bn), w9.dtype),
               pltpu.SemaphoreType.DMA((2,)),
               pltpu.SemaphoreType.DMA((2,)),
           ],
       ),
-      out_shape=jax.ShapeDtypeStruct((m_pad, cout), x2d_padded.dtype),
+      out_shape=jax.ShapeDtypeStruct((m_pad, cout), x2d_staged.dtype),
       interpret=interpret,
-  )(cols, rows, deltas, x2d_padded, w9)
+  )(cols, rows, deltas, x2d_staged, w9)
 
 
 def _conv_impl(x, w4d, packing, block, bm, interpret):
@@ -213,32 +238,37 @@ def _conv_impl(x, w4d, packing, block, bm, interpret):
     raise ValueError(f'bm {bm} must be a multiple of {_ALIGN}')
   ph, pw = kh // 2, kw // 2
   hp, wp = h + 2 * ph, w_dim + 2 * pw
-  halo = (ph * wp + pw) * n
-  if halo >= 2 ** 20:
-    raise ValueError(f'halo {halo} overflows the tap/delta packing')
   m = n * hp * wp
   m_pad = -(-m // bm) * bm
+  halo = (ph * wp + pw) * n
+  # Staging buffer: zeros everywhere except the transposed interior — the
+  # spatial pad, the halo head, and the divisibility tail are all just
+  # regions of one allocation, so the entire input prep is ONE fused
+  # transpose+scatter pass (a separate jnp.pad chain costs 2-3 extra full
+  # copies of the activations, PERF.md).
+  top_img = ph + 1                       # (ph+1)*wp*n >= halo rows of zeros
+  tail_img = -(-(halo + m_pad - m) // (wp * n))
+  t_off = top_img * wp * n               # buffer row of padded-grid row 0
+  if t_off + halo >= 2 ** 20:
+    raise ValueError(f'row offset {t_off + halo} overflows delta packing')
 
   cols, rows, taps = packing['cols'], packing['rows'], packing['taps']
-  n_active = cols.shape[0] - 1
-  if n_active <= 0:
-    return jnp.zeros((n, h, w_dim, cout), x.dtype)
 
-  x_pad = jnp.pad(x, [(0, 0), (ph, ph), (pw, pw), (0, 0)])
-  x2d = jnp.transpose(x_pad, (1, 2, 0, 3)).reshape(m, cin)
-  x2d = jnp.pad(x2d, [(halo, halo + m_pad - m), (0, 0)])
+  xt = jnp.transpose(x, (1, 2, 0, 3))    # (H, W, N, C)
+  staged = jnp.zeros((top_img + hp + tail_img, wp, n, cin), x.dtype)
+  staged = staged.at[top_img + ph:top_img + ph + h, pw:pw + w_dim].set(xt)
+  x2d = staged.reshape(-1, cin)
   w9 = w4d.reshape(kh * kw, cin, cout)
-  deltas = taps * (2 ** 20) + (
-      halo + ((taps // kw - ph) * wp + (taps % kw - pw)) * n
-  ).astype(jnp.int32)
+  # Entry encoding: tap * 2**22 + valid * 2**21 + buffer row offset.
+  valid = (taps >= 0).astype(jnp.int32)
+  tap_safe = jnp.maximum(taps, 0)
+  offset = t_off + valid * (
+      (tap_safe // kw - ph) * wp + (tap_safe % kw - pw)) * n
+  deltas = (tap_safe * _TAP_BITS + valid * _OFF_BITS
+            + offset).astype(jnp.int32)
 
-  y2d = _shift_matmul(x2d, w9, cols, rows, deltas, m_pad, halo, block, bm,
+  y2d = _shift_matmul(x2d, w9, cols, rows, deltas, m_pad, block, bm,
                       interpret)
-  # Columns with no active block are never visited by the kernel; their
-  # output tiles hold garbage — select zeros there (not multiply: 0 * NaN).
-  occ3 = _occupancy3(cols, rows, taps, kh * kw, cin // bk, cout // bn)
-  col_active = occ3.max(axis=(0, 1))
-  y2d = jnp.where(jnp.repeat(col_active, bn)[None, :] != 0, y2d, 0)
   y = y2d[:m].reshape(hp, wp, n, cout)[ph:ph + h, pw:pw + w_dim]
   return jnp.transpose(y, (2, 0, 1, 3))
 
@@ -277,7 +307,8 @@ def _tap_bwd(block, bm, interpret, residuals, gy):
   t_dim = kh * kw
   occ3 = _occupancy3(packing['cols'], packing['rows'], packing['taps'],
                      t_dim, cin // bk, cout // bn)
-  n_active = packing['cols'].shape[0] - 1
+  # Packing length = true actives + one dummy per cout column + sentinel.
+  n_active = packing['cols'].shape[0] - 1 - (cout // bn)
 
   # dx: flipped taps (t' = T-1-t), per-tap transposed blocks and weights.
   occ3_t = occ3[::-1].transpose(0, 2, 1)

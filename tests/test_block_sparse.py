@@ -324,11 +324,17 @@ def test_pack_tap_active_column_major_and_occupancy():
   occ = jnp.asarray(rs.rand(9, 4, 3) > 0.6, jnp.int32)
   n = int(occ.sum())
   cols, rows, taps = pack_tap_active(occ, n)
-  assert cols.shape == (n + 1,) and int(cols[-1]) == -1
+  # Packing = actives + one dummy per column + sentinel.
+  assert cols.shape == (n + 3 + 1,) and int(cols[-1]) == -1
   # Column-major: cols nondecreasing.
   c = np.asarray(cols[:-1])
   assert (np.diff(c) >= 0).all()
-  # Round-trips to the same occupancy.
+  # Each column's run starts with its dummy (tap -1).
+  t = np.asarray(taps[:-1])
+  for j in range(3):
+    first = np.nonzero(c == j)[0][0]
+    assert t[first] == -1, (j, first)
+  # Round-trips to the same occupancy (dummies ignored).
   back = _occupancy3(cols, rows, taps, 9, 4, 3)
   np.testing.assert_array_equal(np.asarray(back), np.asarray(occ))
 
