@@ -99,10 +99,14 @@ class _BlockConv(nn.Module):
     if block_mask is not None and self.block is not None:
       if is_tap:
         # Spatial kernel, stride 1: the direct shift-and-matmul tap kernel.
+        # Its row tile is independent of the matmul kernels' block_bm (tap
+        # grid steps are (bm, 128, 128) dots — they need a much larger bm
+        # to amortize per-step costs; default_tap_bm / RIGL_TAP_BM).
         from rigl_tpu.ops.pallas.block_sparse_conv import block_sparse_conv_tap
+        bm_tap = None if self.block_bm == 512 else self.block_bm
         y = block_sparse_conv_tap(
             x, kernel, jax.lax.stop_gradient(block_mask), block=self.block,
-            bm=self.block_bm)
+            bm=bm_tap)
       else:
         from rigl_tpu.ops import conv as bs_conv
         # 1x1 routes straight to the block-skipping matmul.

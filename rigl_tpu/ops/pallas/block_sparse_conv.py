@@ -273,10 +273,19 @@ def _conv_impl(x, w4d, packing, block, bm, interpret):
   return jnp.transpose(y, (2, 0, 1, 3))
 
 
+def default_tap_bm() -> int:
+  """Row-tile for the tap kernel.  Much larger than the matmul kernels'
+  bm: each grid step's dot is only (bm, bk=128, bn=128), so per-step fixed
+  costs dominate unless bm amortizes them; tiles are (bm, 128) regardless
+  of layer width, so VMEM stays small.  Env RIGL_TAP_BM overrides."""
+  import os
+  return int(os.environ.get('RIGL_TAP_BM', '2048'))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def block_sparse_conv_tap(x, w4d, packing,
                           block: Tuple[int, int] = (128, 128),
-                          bm: int = 512,
+                          bm: Optional[int] = None,
                           interpret: Optional[bool] = None):
   """Stride-1 SAME NHWC conv through the tap-block-skipping kernel.
 
@@ -285,13 +294,18 @@ def block_sparse_conv_tap(x, w4d, packing,
     w4d: (kh, kw, Cin, Cout), odd kh/kw.
     packing: {'cols','rows','taps'} from pack_tap_active — active
       (tap, cin-block, cout-block) triples, column-major, one sentinel.
+    bm: row tile; None = default_tap_bm().
   """
+  if bm is None:
+    bm = default_tap_bm()
   if interpret is None:
     interpret = jax.default_backend() == 'cpu'
   return _conv_impl(x, w4d, packing, block, bm, interpret)
 
 
 def _tap_fwd(x, w4d, packing, block, bm, interpret):
+  if bm is None:
+    bm = default_tap_bm()
   if interpret is None:
     interpret = jax.default_backend() == 'cpu'
   return _conv_impl(x, w4d, packing, block, bm, interpret), (x, w4d, packing)
@@ -299,6 +313,8 @@ def _tap_fwd(x, w4d, packing, block, bm, interpret):
 
 def _tap_bwd(block, bm, interpret, residuals, gy):
   from rigl_tpu.ops.block_mask import expand_from_tap_blocks
+  if bm is None:
+    bm = default_tap_bm()
   if interpret is None:
     interpret = jax.default_backend() == 'cpu'
   x, w4d, packing = residuals
