@@ -92,24 +92,29 @@ class _BlockConv(nn.Module):
     kernel = kernel.astype(self.dtype)
     block_mask = self.get_variable('block_masks', 'kernel', None)
     is_tap = isinstance(block_mask, dict) and 'taps' in block_mask
-    if is_tap:
+    if is_tap and k > 1:
       from rigl_tpu.ops.pallas.block_sparse_conv import tap_batch_ok
-      if self.strides != 1 or k == 1 or not tap_batch_ok(x.shape[0]):
+      # Spatial tap execution needs stride 1 and an aligned batch (the
+      # constant-shift identity); 1x1s have no shifts, so neither applies.
+      if self.strides != 1 or not tap_batch_ok(x.shape[0]):
         block_mask = None  # dense fallback (mask already in the weights)
     if block_mask is not None and self.block is not None:
       if is_tap:
-        # Spatial kernel, stride 1: the direct shift-and-matmul tap kernel.
+        # The direct shift-and-matmul tap kernel (1x1 = T=1 fast path).
         # Its row tile is independent of the matmul kernels' block_bm (tap
         # grid steps are (bm, 128, 128) dots — they need a much larger bm
         # to amortize per-step costs; default_tap_bm / RIGL_TAP_BM).
         from rigl_tpu.ops.pallas.block_sparse_conv import block_sparse_conv_tap
         bm_tap = None if self.block_bm == 512 else self.block_bm
+        xx = x[:, ::self.strides, ::self.strides, :] \
+            if (k == 1 and self.strides > 1) else x
         y = block_sparse_conv_tap(
-            x, kernel, jax.lax.stop_gradient(block_mask), block=self.block,
+            xx, kernel, jax.lax.stop_gradient(block_mask), block=self.block,
             bm=bm_tap)
       else:
         from rigl_tpu.ops import conv as bs_conv
-        # 1x1 routes straight to the block-skipping matmul.
+        # Occupancy/v4-packed 1x1 entries route to the block-skipping
+        # matmul kernels.
         y = bs_conv.block_sparse_conv1x1(
             x, kernel, jax.lax.stop_gradient(block_mask),
             stride=self.strides, block=self.block, bm=self.block_bm)

@@ -230,12 +230,29 @@ def _conv_impl(x, w4d, packing, block, bm, interpret):
   bk, bn = block
   if cin % bk or cout % bn:
     raise ValueError(f'channels ({cin},{cout}) must divide block {block}')
+  if not interpret and bm % _ALIGN:
+    raise ValueError(f'bm {bm} must be a multiple of {_ALIGN}')
+  if kh == 1 and kw == 1:
+    # 1x1 fast path: no shifts (delta = 0 for the single tap), so no
+    # batch-minor transpose and no spatial/halo staging — just a tail pad
+    # to the bm multiple.  This serves every 1x1 conv with bm decoupled
+    # from layer width (the v3/v4 matmul kernels hold a (bm, K) x panel in
+    # VMEM, capping bm on wide layers; here tiles are (bm, 128) always).
+    m = n * h * w_dim
+    m_pad = -(-m // bm) * bm
+    x2d = x.reshape(m, cin)
+    if m_pad != m:
+      x2d = jnp.pad(x2d, [(0, m_pad - m), (0, 0)])
+    cols, rows, taps = packing['cols'], packing['rows'], packing['taps']
+    valid = (taps >= 0).astype(jnp.int32)
+    deltas = (valid * _OFF_BITS).astype(jnp.int32)
+    y2d = _shift_matmul(x2d, w4d.reshape(1, cin, cout), cols, rows, deltas,
+                        m_pad, block, bm, interpret)
+    return y2d[:m].reshape(n, h, w_dim, cout)
   if not interpret and n % _ALIGN:
     raise ValueError(
         f'batch {n} must be a multiple of {_ALIGN} for aligned tap shifts '
         '(route this layer dense instead)')
-  if not interpret and bm % _ALIGN:
-    raise ValueError(f'bm {bm} must be a multiple of {_ALIGN}')
   ph, pw = kh // 2, kw // 2
   hp, wp = h + 2 * ph, w_dim + 2 * pw
   m = n * hp * wp

@@ -217,22 +217,25 @@ class SparseTraining:
     """
     if self.block is None or not masks:
       return None
-    from rigl_tpu.ops.block_mask import is_tap_layer, pool_to_blocks
-    from rigl_tpu.ops.block_mask import pool_to_tap_blocks
+    from rigl_tpu.ops.block_mask import pool_to_blocks, pool_to_tap_blocks
     counts = self.static_block_counts()
     packs: Dict[str, Any] = {}
     for p, m in masks.items():
       if self._layer_block(m.shape) is None:
         continue
-      if is_tap_layer(m.shape, self.block):
-        # Spatial convs execute on the tap kernel, which needs the static
-        # flat packing; without an invariant count they stay dense-executed.
-        if p in counts:
-          from rigl_tpu.ops.pallas.block_sparse_conv import pack_tap_active
-          occ3 = (pool_to_tap_blocks(m.astype(jnp.float32), self.block,
-                                     'max') > 0).astype(jnp.int32)
-          cols, rows, taps = pack_tap_active(occ3, counts[p])
-          packs[p] = {'cols': cols, 'rows': rows, 'taps': taps}
+      if len(m.shape) == 4 and p in counts:
+        # Conv layers (1x1 and spatial) execute on the tap kernel, whose
+        # grid is sized by the static active count.  1x1 kernels are the
+        # T=1 degenerate case (no shifts, ops/pallas/block_sparse_conv.py
+        # fast path); spatial kernels without an invariant count stay
+        # dense-executed, 1x1s fall through to the occupancy (v3) form.
+        from rigl_tpu.ops.pallas.block_sparse_conv import pack_tap_active
+        occ3 = (pool_to_tap_blocks(m.astype(jnp.float32), self.block,
+                                   'max') > 0).astype(jnp.int32)
+        cols, rows, taps = pack_tap_active(occ3, counts[p])
+        packs[p] = {'cols': cols, 'rows': rows, 'taps': taps}
+        continue
+      if len(m.shape) == 4 and tuple(m.shape[:2]) != (1, 1):
         continue
       occ = (pool_to_blocks(m.astype(jnp.float32), self.block, 'max')
              > 0).astype(jnp.int32)
