@@ -68,6 +68,13 @@ def main():
   block_bm = int(os.environ.get('BENCH_BLOCK_BM', 512))
   block_conv3x3 = bool(int(os.environ.get('BENCH_BLOCK_CONV3X3', '0')))
   block_min_sparsity = float(os.environ.get('BENCH_BLOCK_MIN_SPARSITY', '0'))
+  # BENCH_BLOCK_ROUTING=path.json -> measured per-layer routing table
+  # ({mask path: 'dense'|'tap'|'matmul'}, scripts/bench_layer_routing.py).
+  routing_file = os.environ.get('BENCH_BLOCK_ROUTING', '')
+  block_routing = None
+  if routing_file:
+    with open(routing_file) as f:
+      block_routing = json.load(f)
 
   def make(method):
     use_block = block if method == 'rigl' else None
@@ -80,7 +87,8 @@ def main():
             if method == 'rigl' else algorithms.DENSE)
     st = SparseTraining(optax.sgd(0.1, momentum=0.9, nesterov=True), algo,
                         distribution='erdos_renyi_kernel',
-                        default_sparsity=0.8, block=use_block)
+                        default_sparsity=0.8, block=use_block,
+                        block_routing=block_routing)
     state = steps.init_train_state(jax.random.key(0), model, st,
                                    (batch, image, image, 3))
     fn = steps.make_train_step(model, st, weight_decay=1e-4,

@@ -89,6 +89,12 @@ class TrainConfig:
   # Only block-execute layers at least this sparse (denser layers skip
   # little and pay kernel overhead; 0 = route every eligible layer).
   block_min_sparsity: float = 0.0
+  # Measured per-layer routing table {mask path: 'dense'|'tap'|'matmul'},
+  # overriding the heuristics for listed layers; block_routing_file points
+  # at a JSON of the same mapping (scripts/bench_layer_routing.py output)
+  # and is merged under block_routing.
+  block_routing: Dict[str, str] = dataclasses.field(default_factory=dict)
+  block_routing_file: Optional[str] = None
   # Structured mask init ('per_neuron', 'symmetric', ...); None = random.
   mask_type: Optional[str] = None
 
@@ -294,6 +300,12 @@ class Trainer:
 
     block = ((cfg.block_height, cfg.block_width)
              if cfg.block_width > 0 and cfg.block_height > 0 else None)
+    routing = dict(cfg.block_routing)
+    if cfg.block_routing_file:
+      import json
+      with open(cfg.block_routing_file) as f:
+        file_routing = json.load(f)
+      routing = {**file_routing, **routing}
     self.sparse_training = SparseTraining(
         tx, self.algo,
         distribution=cfg.mask_init_method,
@@ -303,7 +315,8 @@ class Trainer:
         mask_rule=mask_rule,
         seed=cfg.seed,
         block=block,
-        mask_generator=cfg.mask_type)
+        mask_generator=cfg.mask_type,
+        block_routing=routing)
 
     has_dropout = cfg.model.startswith('vgg') or (
         cfg.model == 'wide_resnet'

@@ -86,6 +86,7 @@ class SparseTraining:
       mask_dtype=jnp.float32,
       block: Optional[Tuple[int, int]] = None,
       mask_generator: Optional[str] = None,
+      block_routing: Optional[Mapping[str, str]] = None,
   ):
     self.tx = tx
     self.algo = algo
@@ -106,6 +107,15 @@ class SparseTraining:
     # 'per_neuron_no_input_ablation', ... (sparsity/generators.py registry);
     # None = plain exact-count random masks.
     self.mask_generator = mask_generator
+    # Measured per-layer execution routing: {mask path: 'dense'|'tap'|
+    # 'matmul'}.  Overrides the default heuristics in _compute_packs for
+    # listed layers ('dense' = keep XLA conv with masked weights; 'tap' =
+    # shift-and-matmul conv kernel; 'matmul' = 1x1/2D block-skipping matmul
+    # kernels).  Produced by scripts/bench_layer_routing.py, which times
+    # each candidate on the target hardware at the layer's real shape and
+    # density — routing by measurement, not eligibility (PERF.md: heuristic
+    # routing regressed e2e step time on every attempt).
+    self.block_routing = dict(block_routing or {})
     # Per-layer sparsity targets + shapes, filled by init() (host-side).
     self.sparsities: Dict[str, float] = {}
     self.layer_shapes: Dict[str, Tuple[int, ...]] = {}
@@ -223,7 +233,10 @@ class SparseTraining:
     for p, m in masks.items():
       if self._layer_block(m.shape) is None:
         continue
-      if len(m.shape) == 4 and p in counts:
+      choice = self.block_routing.get(p)
+      if choice == 'dense':
+        continue  # measured loser: no pack -> XLA conv on masked weights
+      if len(m.shape) == 4 and p in counts and choice != 'matmul':
         # Conv layers (1x1 and spatial) execute on the tap kernel, whose
         # grid is sized by the static active count.  1x1 kernels are the
         # T=1 degenerate case (no shifts, ops/pallas/block_sparse_conv.py
@@ -236,7 +249,7 @@ class SparseTraining:
         packs[p] = {'cols': cols, 'rows': rows, 'taps': taps}
         continue
       if len(m.shape) == 4 and tuple(m.shape[:2]) != (1, 1):
-        continue
+        continue  # spatial conv routed 'matmul' / without static count
       occ = (pool_to_blocks(m.astype(jnp.float32), self.block, 'max')
              > 0).astype(jnp.int32)
       if p in counts:

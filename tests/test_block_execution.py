@@ -240,3 +240,59 @@ def test_block_mask_collection_matches_resnet_paths():
   # 3x3 convs and the (C, 10) head are excluded.
   assert not any('conv2' in p for p in flat)
   assert 'final_dense/kernel' not in flat
+
+
+def test_block_routing_controls_pack_forms():
+  """A measured routing table overrides the pack-form heuristics:
+  'dense' layers get no pack, 'matmul' 1x1s get the flat v4 pack,
+  unlisted layers keep the tap default."""
+  sched = UpdateSchedule(begin_step=0, end_step=100, frequency=2,
+                         drop_fraction=0.5)
+  routing = {'c3x3/conv/kernel': 'dense', 'c1/conv/kernel': 'matmul'}
+  model = _TinyNet(block=BLOCK)
+  st = SparseTraining(
+      optax.sgd(0.05), algorithms.get_algorithm('set', schedule=sched),
+      distribution='uniform', default_sparsity=0.5, block=BLOCK, seed=3,
+      block_routing=routing)
+  state = steps.init_train_state(jax.random.key(0), model, st, (4, 8, 8, 8),
+                                 has_batch_stats=False)
+  packs = state.sparse.block_packs
+  assert 'c3x3/conv/kernel' not in packs          # routed dense
+  assert set(packs['c1/conv/kernel']) == {'cols', 'rows'}   # v4 matmul
+  assert set(packs['c2/conv/kernel']) == {'cols', 'rows', 'taps'}  # default
+
+
+def test_block_routing_trajectory_matches_dense():
+  """Routing only changes execution, never semantics."""
+  sched = UpdateSchedule(begin_step=0, end_step=100, frequency=2,
+                         drop_fraction=0.5)
+
+  def make(block_exec, routing=None):
+    algo = algorithms.get_algorithm('rigl', schedule=sched)
+    model = _TinyNet(block=BLOCK if block_exec else None)
+    st = SparseTraining(
+        optax.sgd(0.05, momentum=0.9), algo, distribution='uniform',
+        default_sparsity=0.5, block=BLOCK, seed=3, block_routing=routing)
+    state = steps.init_train_state(jax.random.key(0), model, st,
+                                   (4, 8, 8, 8), has_batch_stats=False)
+    fn = steps.make_train_step(model, st, has_batch_stats=False,
+                               block=BLOCK if block_exec else None,
+                               block_conv3x3=block_exec)
+    return jax.jit(fn), state
+
+  routing = {'c3x3/conv/kernel': 'dense', 'c1/conv/kernel': 'matmul'}
+  fn_r, state_r = make(True, routing)
+  fn_d, state_d = make(False)
+  rng = np.random.default_rng(0)
+  for _ in range(4):
+    batch = {
+        'image': jnp.asarray(rng.normal(size=(4, 8, 8, 8)), jnp.float32),
+        'label': jnp.asarray(rng.integers(0, 10, (4,)), jnp.int32),
+    }
+    state_r, mr = fn_r(state_r, batch)
+    state_d, md = fn_d(state_d, batch)
+    np.testing.assert_allclose(float(mr['loss']), float(md['loss']),
+                               rtol=1e-4, atol=1e-5)
+  for p, m in state_r.sparse.masks.items():
+    np.testing.assert_array_equal(np.asarray(m),
+                                  np.asarray(state_d.sparse.masks[p]), p)
