@@ -290,6 +290,164 @@ def _conv_impl(x, w4d, packing, block, bm, interpret):
   return jnp.transpose(y, (2, 0, 1, 3))
 
 
+def _dw_kernel(cols_ref, rows_ref, deltas_ref, x_hbm, g_hbm, o_ref,
+               acc_ref, x_buf, g_buf, sem_x, sem_g, *, bk, bn, bm, g_off):
+  """One dw block per entry: acc[s] = sum_ms x[ms+shift_s, ki_s]^T @ g[ms, j_s].
+
+  Grid (n_entries, M/bm), ms fastest: the output tile for entry s stays
+  resident across the ms sweep and flushes once.  Both operands are the
+  SAME staged batch-minor padded-grid buffers the forward uses (x with the
+  tap shift baked into deltas, g at the static grid origin g_off), so pad /
+  halo / tail rows contribute zero terms.  Dummy/sentinel entries
+  (valid = 0) skip all DMA and MXU work and flush a zero tile; their output
+  slots are dropped by the host-side scatter (tap index -1 out of bounds).
+  """
+  s = pl.program_id(0)
+  ms = pl.program_id(1)
+  nms = pl.num_programs(1)
+  valid = (deltas_ref[s] // _OFF_BITS) % 2 != 0
+
+  def copies(m_idx, slot):
+    xs = pl.multiple_of(m_idx * bm + deltas_ref[s] % _OFF_BITS, _ALIGN)
+    gs = pl.multiple_of(m_idx * bm + g_off, _ALIGN)
+    cx = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(xs, bm), pl.ds(rows_ref[s] * bk, bk)],
+        x_buf.at[slot], sem_x.at[slot])
+    cg = pltpu.make_async_copy(
+        g_hbm.at[pl.ds(gs, bm), pl.ds(cols_ref[s] * bn, bn)],
+        g_buf.at[slot], sem_g.at[slot])
+    return cx, cg
+
+  @pl.when(ms == 0)
+  def _():
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+  @pl.when(valid & (ms == 0))
+  def _():
+    cx, cg = copies(0, 0)
+    cx.start()
+    cg.start()
+
+  slot = jax.lax.rem(ms, 2)
+
+  @pl.when(valid & (ms + 1 < nms))
+  def _():
+    cx, cg = copies(ms + 1, 1 - slot)
+    cx.start()
+    cg.start()
+
+  @pl.when(valid)
+  def _():
+    cx, cg = copies(ms, slot)
+    cx.wait()
+    cg.wait()
+    acc_ref[:] += jax.lax.dot_general(
+        x_buf[slot], g_buf[slot],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+  @pl.when(ms == nms - 1)
+  def _():
+    o_ref[0, :, :] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _dw_gather(x, gy, w_shape, packing, block, bm, interpret):
+  """dw = conv-backward-filter(x, gy) restricted to active tap blocks.
+
+  HBM traffic and MXU work scale with tap-block density — the dense
+  formulation (XLA conv-backward-filter times the expanded mask) computes
+  every block, and at ResNet's small late-stage spatial sizes XLA's
+  backward-filter runs far below peak (PERF.md session 3: the matching
+  forward conv measured 12.6 TFLOP/s at 7x7/512ch, which the tap kernel
+  beat 2.6x).  Returns (kh, kw, cin, cout) f32.
+  """
+  n, h, w_dim, cin = x.shape
+  kh, kw, _, cout = w_shape
+  bk, bn = block
+  cols, rows, taps = packing['cols'], packing['rows'], packing['taps']
+  n_entries = cols.shape[0] - 1
+  valid = (taps >= 0).astype(jnp.int32)
+  tap_safe = jnp.maximum(taps, 0)
+
+  if kh == 1 and kw == 1:
+    # No shifts: plain row-major flattening, no batch-minor transpose and
+    # no alignment requirement on the batch (reads start at ms * bm).
+    m = n * h * w_dim
+    m_pad = -(-m // bm) * bm
+    t_off = 0
+
+    def stage(a):
+      a2 = a.reshape(m, a.shape[-1])
+      if m_pad != m:
+        a2 = jnp.pad(a2, [(0, m_pad - m), (0, 0)])
+      return a2
+    offset = jnp.zeros_like(taps)
+  else:
+    ph, pw = kh // 2, kw // 2
+    hp, wp = h + 2 * ph, w_dim + 2 * pw
+    m = n * hp * wp
+    m_pad = -(-m // bm) * bm
+    halo = (ph * wp + pw) * n
+    top_img = ph + 1
+    tail_img = -(-(halo + m_pad - m) // (wp * n))
+    t_off = top_img * wp * n
+    if t_off + halo >= 2 ** 20:
+      raise ValueError(f'row offset {t_off + halo} overflows delta packing')
+
+    def stage(a):
+      c = a.shape[-1]
+      at = jnp.transpose(a, (1, 2, 0, 3))
+      buf = jnp.zeros((top_img + hp + tail_img, wp, n, c), a.dtype)
+      buf = buf.at[top_img + ph:top_img + ph + h, pw:pw + w_dim].set(at)
+      return buf.reshape(-1, c)
+    offset = t_off + valid * (
+        (tap_safe // kw - ph) * wp + (tap_safe % kw - pw)) * n
+
+  x2d = stage(x)
+  g2d = stage(gy)
+  deltas = (tap_safe * _TAP_BITS + valid * _OFF_BITS
+            + offset).astype(jnp.int32)
+
+  kernel = functools.partial(_dw_kernel, bk=bk, bn=bn, bm=bm, g_off=t_off)
+  blocks = pl.pallas_call(
+      kernel,
+      grid_spec=pltpu.PrefetchScalarGridSpec(
+          num_scalar_prefetch=3,
+          grid=(n_entries, m_pad // bm),
+          in_specs=[
+              pl.BlockSpec(memory_space=pl.ANY),
+              pl.BlockSpec(memory_space=pl.ANY),
+          ],
+          out_specs=pl.BlockSpec((1, bk, bn),
+                                 lambda s, ms, c, r, d: (s, 0, 0)),
+          scratch_shapes=[
+              pltpu.VMEM((bk, bn), jnp.float32),
+              pltpu.VMEM((2, bm, bk), x2d.dtype),
+              pltpu.VMEM((2, bm, bn), g2d.dtype),
+              pltpu.SemaphoreType.DMA((2,)),
+              pltpu.SemaphoreType.DMA((2,)),
+          ],
+      ),
+      out_shape=jax.ShapeDtypeStruct((n_entries, bk, bn), jnp.float32),
+      interpret=interpret,
+  )(cols, rows, deltas, x2d, g2d)
+
+  # Scatter compact blocks into the (T, K/bk, N/bn, bk, bn) grid; dummy and
+  # sentinel entries carry tap = -1, which is out of bounds and dropped.
+  grid5 = jnp.zeros((kh * kw, cin // bk, cout // bn, bk, bn), jnp.float32)
+  grid5 = grid5.at[taps[:n_entries], rows[:n_entries],
+                   cols[:n_entries]].set(blocks, mode='drop')
+  dw = grid5.transpose(0, 1, 3, 2, 4).reshape(kh * kw, cin, cout)
+  return dw.reshape(kh, kw, cin, cout)
+
+
+def default_tap_dw() -> str:
+  """dw strategy for the tap backward: 'gather' (block-sparse kernel) or
+  'dense' (XLA conv-backward-filter times mask).  Env RIGL_TAP_DW."""
+  import os
+  return os.environ.get('RIGL_TAP_DW', 'gather')
+
+
 def default_tap_bm() -> int:
   """Row-tile for the tap kernel.  Much larger than the matmul kernels'
   bm: each grid step's dot is only (bm, bk=128, bn=128), so per-step fixed
@@ -350,18 +508,25 @@ def _tap_bwd(block, bm, interpret, residuals, gy):
   dx = _conv_impl(gy, w_t, {'cols': cols_t, 'rows': rows_t, 'taps': taps_t},
                   (bn, bk), bm, interpret)
 
-  # dw: XLA's native conv-backward-filter (batch<->feature swapped dims) on
-  # the 4D tensors, masked to active blocks.
-  ph, pw = kh // 2, kw // 2
-  x_pad = jnp.pad(x, [(0, 0), (ph, ph), (pw, pw), (0, 0)])
-  dw4 = jax.lax.conv_general_dilated(
-      x_pad, gy, window_strides=(1, 1), padding='VALID',
-      dimension_numbers=('CHWN', 'IHWO', 'NHWC'),
-      preferred_element_type=jnp.float32)          # (Cin, kh, kw, Cout)
-  dw = jnp.transpose(dw4, (1, 2, 0, 3))
-  mask = expand_from_tap_blocks(occ3.astype(jnp.float32),
-                                (kh, kw, cin, cout), block)
-  dw = (dw * mask).astype(w4d.dtype)
+  if default_tap_dw() == 'gather' and (
+      interpret or (kh, kw) == (1, 1) or x.shape[0] % _ALIGN == 0):
+    # Block-sparse dw: compute only the active tap blocks (the dense
+    # backward-filter pays full FLOPs for a mostly-masked result).
+    dw = _dw_gather(x, gy, w4d.shape, packing, block, bm,
+                    interpret).astype(w4d.dtype)
+  else:
+    # dw: XLA's native conv-backward-filter (batch<->feature swapped dims)
+    # on the 4D tensors, masked to active blocks.
+    ph, pw = kh // 2, kw // 2
+    x_pad = jnp.pad(x, [(0, 0), (ph, ph), (pw, pw), (0, 0)])
+    dw4 = jax.lax.conv_general_dilated(
+        x_pad, gy, window_strides=(1, 1), padding='VALID',
+        dimension_numbers=('CHWN', 'IHWO', 'NHWC'),
+        preferred_element_type=jnp.float32)          # (Cin, kh, kw, Cout)
+    dw = jnp.transpose(dw4, (1, 2, 0, 3))
+    mask = expand_from_tap_blocks(occ3.astype(jnp.float32),
+                                  (kh, kw, cin, cout), block)
+    dw = (dw * mask).astype(w4d.dtype)
   return dx, dw, None
 
 

@@ -378,3 +378,36 @@ def test_is_tap_layer_eligibility():
   assert not bm_lib.is_tap_layer((1, 1, 128, 256), (128, 128))  # matmul path
   assert not bm_lib.is_tap_layer((3, 3, 64, 256), (128, 128))   # indivisible
   assert not bm_lib.is_tap_layer((128, 256), (128, 128))        # 2D kernel
+
+
+@pytest.mark.parametrize('kshape', [(1, 1, 8, 16), (3, 3, 8, 16),
+                                    (5, 5, 8, 16)])
+def test_tap_dw_gather_matches_dense(kshape):
+  """Block-sparse dw (active tap blocks only) equals the masked dense
+  conv-backward-filter, including empty-mask columns and dummy entries."""
+  import jax
+  from rigl_tpu.ops.pallas.block_sparse_conv import (_dw_gather,
+                                                     pack_tap_active)
+  key = jax.random.key(5)
+  block = (8, 8)
+  kh, kw, cin, cout = kshape
+  x = jax.random.normal(jax.random.fold_in(key, 1), (2, 6, 5, cin))
+  gy = jax.random.normal(jax.random.fold_in(key, 2), (2, 6, 5, cout))
+  mask = bm_lib.random_tap_block_mask(jax.random.fold_in(key, 3), kshape,
+                                      0.5, block)
+  occ3 = (bm_lib.pool_to_tap_blocks(mask, block, 'max') > 0).astype(jnp.int32)
+  packing = dict(zip(('cols', 'rows', 'taps'),
+                     pack_tap_active(occ3, int(occ3.sum()))))
+  dw = _dw_gather(x, gy, kshape, packing, block, bm=16, interpret=True)
+
+  ph, pw = kh // 2, kw // 2
+  x_pad = jnp.pad(x, [(0, 0), (ph, ph), (pw, pw), (0, 0)])
+  dw_ref = jnp.transpose(
+      jax.lax.conv_general_dilated(
+          x_pad, gy, (1, 1), 'VALID',
+          dimension_numbers=('CHWN', 'IHWO', 'NHWC'),
+          preferred_element_type=jnp.float32), (1, 2, 0, 3))
+  dw_ref = dw_ref * bm_lib.expand_from_tap_blocks(
+      occ3.astype(jnp.float32), kshape, block)
+  np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref), rtol=1e-4,
+                             atol=1e-4)
