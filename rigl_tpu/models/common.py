@@ -94,9 +94,10 @@ class _BlockConv(nn.Module):
     is_tap = isinstance(block_mask, dict) and 'taps' in block_mask
     if is_tap and k > 1:
       from rigl_tpu.ops.pallas.block_sparse_conv import tap_batch_ok
-      # Spatial tap execution needs stride 1 and an aligned batch (the
-      # constant-shift identity); 1x1s have no shifts, so neither applies.
-      if self.strides != 1 or not tap_batch_ok(x.shape[0]):
+      # Spatial tap execution needs an aligned batch (the constant-shift
+      # identity) and odd k for strided layers; 1x1s have no shifts, so
+      # neither applies.
+      if not tap_batch_ok(x.shape[0]) or (self.strides > 1 and k % 2 == 0):
         block_mask = None  # dense fallback (mask already in the weights)
     if block_mask is not None and self.block is not None:
       if is_tap:
@@ -111,6 +112,18 @@ class _BlockConv(nn.Module):
         y = block_sparse_conv_tap(
             xx, kernel, jax.lax.stop_gradient(block_mask), block=self.block,
             bm=bm_tap)
+        if k > 1 and self.strides > 1:
+          # Strided spatial conv: the input is already fixed-padded
+          # (padding == 'VALID'), so the stride-1 SAME conv above computes
+          # every window center; the strided output is every s-th center
+          # starting at k//2.  The slice's autodiff scatters gy back to
+          # the full grid (dilated), which the tap backward consumes as-is
+          # — zero rows contribute zero terms in dx and dw.
+          s = self.strides
+          oh = (x.shape[1] - k) // s + 1
+          ow = (x.shape[2] - k) // s + 1
+          c = k // 2
+          y = y[:, c:c + s * (oh - 1) + 1:s, c:c + s * (ow - 1) + 1:s, :]
       else:
         from rigl_tpu.ops import conv as bs_conv
         # Occupancy/v4-packed 1x1 entries route to the block-skipping

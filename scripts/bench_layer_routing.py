@@ -185,7 +185,8 @@ def main():
 
     candidates = {'dense': dense_conv}
 
-    tap_ok = (k == 1 or (stride == 1 and tap_batch_ok(batch, False)))
+    tap_ok = (k == 1 or (tap_batch_ok(batch, False)
+                         and (stride == 1 or k % 2 == 1)))
     if tap_ok:
       cols, rows, taps = (np.asarray(v) for v in
                           pack_tap_active(occ3, int(n_active)))
@@ -193,9 +194,25 @@ def main():
                  'taps': jnp.asarray(taps)}
 
       def tap_conv(x_, w_, packing=packing):
-        xx = x_[:, ::stride, ::stride, :] if (k == 1 and stride > 1) else x_
-        return block_sparse_conv_tap(xx, w_, packing, block,
-                                     default_tap_bm(), False)
+        if k == 1:
+          xx = x_[:, ::stride, ::stride, :] if stride > 1 else x_
+          return block_sparse_conv_tap(xx, w_, packing, block,
+                                       default_tap_bm(), False)
+        if stride == 1:
+          return block_sparse_conv_tap(x_, w_, packing, block,
+                                       default_tap_bm(), False)
+        # Strided spatial conv (models/common.py _BlockConv): fixed-pad,
+        # stride-1 SAME tap conv, take every s-th window center.
+        pb = (k - 1) // 2
+        xp = jnp.pad(x_, [(0, 0), (pb, k - 1 - pb), (pb, k - 1 - pb),
+                          (0, 0)])
+        y = block_sparse_conv_tap(xp, w_, packing, block,
+                                  default_tap_bm(), False)
+        oh = (xp.shape[1] - k) // stride + 1
+        ow = (xp.shape[2] - k) // stride + 1
+        c = k // 2
+        return y[:, c:c + stride * (oh - 1) + 1:stride,
+                 c:c + stride * (ow - 1) + 1:stride, :]
       candidates['tap'] = tap_conv
 
     if k == 1:

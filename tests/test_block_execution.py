@@ -54,8 +54,9 @@ def test_conv1x1_block_execution_matches_dense(stride):
 
 @pytest.mark.parametrize('stride', [1, 2])
 def test_conv3x3_block_execution_matches_dense(stride):
-  """Spatial convs execute via the direct tap kernel (stride 1) or fall
-  back to the dense XLA conv (strided layers); semantics identical."""
+  """Spatial convs execute via the direct tap kernel (stride 1 runs SAME
+  directly; strided layers run stride-1 on the fixed-padded input and take
+  every s-th window center); semantics identical to the dense conv."""
   dense, blocked, params, x = _conv_pair(3, stride)
   kshape = params['params']['conv']['kernel'].shape  # (3, 3, 8, 16)
   mask = bm_lib.random_block_mask(jax.random.key(5), kshape, 0.5, BLOCK)
@@ -73,8 +74,9 @@ def test_conv3x3_block_execution_matches_dense(stride):
                              rtol=1e-4, atol=1e-5)
 
 
-def test_conv3x3_tap_backward_matches_dense_at_active_blocks():
-  dense, blocked, params, x = _conv_pair(3, 1)
+@pytest.mark.parametrize('stride', [1, 2])
+def test_conv3x3_tap_backward_matches_dense_at_active_blocks(stride):
+  dense, blocked, params, x = _conv_pair(3, stride)
   kshape = params['params']['conv']['kernel'].shape
   mask = bm_lib.random_block_mask(jax.random.key(7), kshape, 0.5, BLOCK)
   col = bm_lib.block_mask_collection({'conv/kernel': mask}, BLOCK,
