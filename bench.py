@@ -20,7 +20,8 @@ import time
 import numpy as np
 
 
-def _bench_step(step_fn, state, batch, warmup: int, iters: int):
+def _bench_step(step_fn, state, batch, warmup: int, iters: int,
+                update_fn=None, update_iters=()):
   """Times `iters` *chained* train steps (each consumes the previous state)
   and synchronizes on a host readback of the final loss.
 
@@ -31,10 +32,20 @@ def _bench_step(step_fn, state, batch, warmup: int, iters: int):
   is amortized and small relative to a ResNet-50 train step.  (Wrapping the
   chain in lax.scan would remove dispatch entirely, but that program shape
   stalls the remote compiler.)
+
+  `update_fn`/`update_iters`: host-gated schedule specialization — the
+  predicted mask-update iterations (all inside warmup; asserted by the
+  caller) run the update program, everything else the plain program.
   """
   import jax
   run = jax.jit(step_fn, donate_argnums=0)
-  for _ in range(warmup):
+  run_upd = (jax.jit(update_fn, donate_argnums=0)
+             if update_fn is not None else None)
+  for i in range(warmup):
+    fn = run_upd if i in update_iters else run
+    state, metrics = fn(state, batch)
+  if warmup == 0 or all(i in update_iters for i in range(warmup)):
+    # The timed program must compile+run at least once before timing.
     state, metrics = run(state, batch)
   _ = float(metrics['loss'])
   t0 = time.perf_counter()
@@ -91,11 +102,16 @@ def main():
                         block_routing=block_routing)
     state = steps.init_train_state(jax.random.key(0), model, st,
                                    (batch, image, image, 3))
-    fn = steps.make_train_step(model, st, weight_decay=1e-4,
-                               label_smoothing=0.1, block=use_block,
-                               block_conv3x3=block_conv3x3,
-                               block_min_sparsity=block_min_sparsity)
-    return fn, state
+    mk = lambda hint: steps.make_train_step(  # noqa: E731
+        model, st, weight_decay=1e-4, label_smoothing=0.1, block=use_block,
+        block_conv3x3=block_conv3x3, block_min_sparsity=block_min_sparsity,
+        update_hint=hint)
+    if method == 'rigl':
+      # Host-gated schedule specialization: the timed hot loop runs the
+      # plain program (no mask-update cond); predicted update iterations
+      # (step 0 here) run the update program during warmup.
+      return mk(False), mk(True), st, state
+    return mk(None), None, st, state
 
   rng = np.random.default_rng(0)
   batch_data = {
@@ -104,10 +120,16 @@ def main():
   }
   batch_data = jax.device_put(batch_data)
 
-  sparse_fn, sparse_state = make('rigl')
-  sparse_time, _ = _bench_step(sparse_fn, sparse_state, batch_data, warmup,
-                               iters)
-  dense_fn, dense_state = make('dense')
+  sparse_fn, sparse_upd, st_s, sparse_state = make('rigl')
+  hints = st_s.predict_update_iters(warmup + iters)
+  assert not any(hints[warmup:]), (
+      'mask updates inside the timed window; grow warmup or retune the '
+      f'schedule (updates at {[i for i, h in enumerate(hints) if h]})')
+  sparse_time, _ = _bench_step(
+      sparse_fn, sparse_state, batch_data, warmup, iters,
+      update_fn=sparse_upd,
+      update_iters={i for i, h in enumerate(hints[:warmup]) if h})
+  dense_fn, _, _, dense_state = make('dense')
   dense_time, _ = _bench_step(dense_fn, dense_state, batch_data, warmup,
                               iters)
 

@@ -71,6 +71,7 @@ def make_train_step(
     block: Optional[Tuple[int, int]] = None,
     block_conv3x3: bool = False,
     block_min_sparsity: float = 0.0,
+    update_hint: Optional[bool] = None,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]],
               Tuple[TrainState, Dict[str, jnp.ndarray]]]:
   """Builds the fused train step for `model` + sparse-training config `st`.
@@ -89,6 +90,12 @@ def make_train_step(
   inside the update branch (costing nothing on non-update iterations);
   algorithms needing dense gradients on every step (SNFS momentum, DNW)
   are rejected.
+
+  `update_hint`: host-side static knowledge of whether the steps this
+  program runs are mask-update iterations (SparseTraining.step /
+  predict_update_iters) — build one program with False for the hot loop
+  and one with True for the predicted update steps to drop the schedule
+  `lax.cond` from the hot path.
   """
   if block is not None and st.algo.name in ('momentum', 'dnw'):
     raise ValueError(
@@ -152,6 +159,8 @@ def make_train_step(
     # masks are still all-ones, i.e. every block is active.)
     need_dense_grow = (block is not None
                        and st.algo.name in ('rigl', 'rigl_inverted'))
+    if update_hint is False:
+      need_dense_grow = False  # update branch statically absent
     if grow_batch is not None or need_dense_grow:
       def grow_grads_fn(params):
         b = grow_batch if grow_batch is not None else batch
@@ -161,7 +170,7 @@ def make_train_step(
                               step_rng)[0])(eff_p)
     params, opt_state, sstate, st_metrics = st.step(
         state.params, state.opt_state, state.sparse, dense_grads,
-        grow_grads_fn=grow_grads_fn)
+        grow_grads_fn=grow_grads_fn, update_hint=update_hint)
     new_state = state.replace(
         params=params, batch_stats=new_batch_stats, opt_state=opt_state,
         sparse=sstate, rng=rng)

@@ -97,6 +97,12 @@ class TrainConfig:
   block_routing_file: Optional[str] = None
   # Structured mask init ('per_neuron', 'symmetric', ...); None = random.
   mask_type: Optional[str] = None
+  # Resolve the mask-update lax.cond at trace time: compile a plain step
+  # and an update step and select host-side from the deterministic
+  # schedule (SparseTraining.predict_update_iters).  Removes the cond's
+  # ~2% TPU cost from every hot-loop step at the price of a second
+  # compile; drop/grow family + gradual pruning only.
+  static_update_steps: bool = False
 
   # bookkeeping
   seed: int = 0
@@ -321,15 +327,21 @@ class Trainer:
     has_dropout = cfg.model.startswith('vgg') or (
         cfg.model == 'wide_resnet'
         and cfg.model_kwargs.get('droprate', 0) > 0)
-    self._train_step = steps.make_train_step(
-        self.model, self.sparse_training,
-        weight_decay=cfg.weight_decay,
-        label_smoothing=cfg.label_smoothing,
-        has_batch_stats=True,
-        has_dropout=has_dropout,
-        block=self._exec_block,
-        block_conv3x3=cfg.block_conv3x3,
-        block_min_sparsity=cfg.block_min_sparsity)
+
+    def _make_step(update_hint=None):
+      return steps.make_train_step(
+          self.model, self.sparse_training,
+          weight_decay=cfg.weight_decay,
+          label_smoothing=cfg.label_smoothing,
+          has_batch_stats=True,
+          has_dropout=has_dropout,
+          block=self._exec_block,
+          block_conv3x3=cfg.block_conv3x3,
+          block_min_sparsity=cfg.block_min_sparsity,
+          update_hint=update_hint)
+
+    self._make_step = _make_step
+    self._train_step = _make_step()
     self._eval_step = steps.make_eval_step(self.model, has_batch_stats=True)
 
     self.mesh = None
@@ -384,17 +396,18 @@ class Trainer:
     self.state = state
     return state
 
-  def jitted_train_step(self):
+  def jitted_train_step(self, step_fn=None):
+    step_fn = self._train_step if step_fn is None else step_fn
     if self.mesh is None:
-      return jax.jit(self._train_step, donate_argnums=0)
+      return jax.jit(step_fn, donate_argnums=0)
     if self.config.n_model_shards > 1:
       # Input placements (sharded params/masks/slots + data-sharded batch)
       # drive GSPMD propagation; explicit out_shardings would force
       # resharding against the donated inputs.
-      return jax.jit(self._train_step, donate_argnums=0)
+      return jax.jit(step_fn, donate_argnums=0)
     repl = mesh_lib.replicated(self.mesh)
     return jax.jit(
-        self._train_step,
+        step_fn,
         donate_argnums=0,
         in_shardings=(repl, mesh_lib.batch_sharding(self.mesh)),
         out_shardings=(repl, repl))
@@ -416,12 +429,24 @@ class Trainer:
       if ckpt_mgr0.latest_step() is not None:
         state = ckpt_mgr0.restore(state)
         self.state = state
-    train_step = self.jitted_train_step()
-
     n_batches = simulate_step_sequence(
         self.algo, total_steps,
         start_step=int(state.sparse.step),
         start_last_update=int(state.sparse.last_update_step))
+
+    hint_batches = None
+    if cfg.static_update_steps and self.algo.name in (
+        'set', 'rigl', 'rigl_inverted', 'static', 'momentum', 'prune'):
+      # Two specialized programs selected by the host-side schedule
+      # prediction; the cond disappears from the hot loop.
+      hint_batches = predict_update_batches(
+          self.algo, n_batches, start_step=int(state.sparse.step),
+          start_last_update=int(state.sparse.last_update_step))
+      train_step_plain = self.jitted_train_step(self._make_step(False))
+      train_step_upd = self.jitted_train_step(self._make_step(True))
+      train_step = train_step_plain
+    else:
+      train_step = self.jitted_train_step()
     sharding = (mesh_lib.batch_sharding(self.mesh)
                 if self.mesh is not None else None)
     it = pipeline.prefetch_to_device(self.train_ds.repeat(), size=2,
@@ -469,6 +494,8 @@ class Trainer:
         pre_norm = grad_norm_fn(state, batch)
         if pre_mgr:
           pre_mgr.save(i, state)  # keyed by batch index: unique/monotone
+      if hint_batches is not None:
+        train_step = train_step_upd if i in hint_batches else train_step_plain
       state, metrics = train_step(state, batch)
       # Keep self.state live: the input state's buffers are donated, and
       # progress callbacks (e.g. mask recording) read trainer.state.

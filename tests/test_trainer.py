@@ -233,3 +233,19 @@ def test_init_masks_from_other_run(tmp_path):
   mc = np.asarray(sc.sparse.masks['layer1/kernel'])
   assert mc.sum() == masks_a.sum()
   assert not np.array_equal(mc, masks_a)
+
+
+@pytest.mark.parametrize('method', ['rigl', 'set'])
+def test_static_update_steps_matches_default(method):
+  """Host-gated program specialization follows the cond trajectory."""
+  t0 = Trainer(_cfg(training_method=method))
+  r0 = t0.train(total_steps=6)
+  m0 = jax.tree.map(np.asarray, t0.state.sparse.masks)
+
+  t1 = Trainer(_cfg(training_method=method, static_update_steps=True))
+  r1 = t1.train(total_steps=6)
+  assert int(t1.state.sparse.step) == int(t0.state.sparse.step)
+  for p, m in m0.items():
+    np.testing.assert_array_equal(np.asarray(t1.state.sparse.masks[p]), m, p)
+  np.testing.assert_allclose(r1['final_loss'], r0['final_loss'], rtol=1e-4,
+                             atol=1e-6)
