@@ -99,7 +99,8 @@ def main():
     st = SparseTraining(optax.sgd(0.1, momentum=0.9, nesterov=True), algo,
                         distribution='erdos_renyi_kernel',
                         default_sparsity=0.8, block=use_block,
-                        block_routing=block_routing)
+                        block_routing=block_routing,
+                        premask_params=(method == 'rigl'))
     state = steps.init_train_state(jax.random.key(0), model, st,
                                    (batch, image, image, 3))
     mk = lambda hint: steps.make_train_step(  # noqa: E731

@@ -131,7 +131,10 @@ def make_train_step(
     rng, step_rng = jax.random.split(state.rng)
     # Differentiate w.r.t. the *effective* params: one backward pass yields
     # dense gradients at masked leaves (see transforms/sparse_training.py).
-    eff = masks_lib.apply_masks(state.params, state.sparse.masks)
+    # Pre-masked storage IS the effective params — the full-params multiply
+    # (a read+write of every weight, every step) drops out of the hot path.
+    eff = (state.params if st.premask_params
+           else masks_lib.apply_masks(state.params, state.sparse.masks))
     bm_col = None
     if block is not None:
       from rigl_tpu.ops import block_mask as bm_lib
@@ -252,10 +255,15 @@ def init_train_state(
   params = variables['params']
   batch_stats = variables.get('batch_stats', {}) if has_batch_stats else {}
   opt_state, sstate = st.init(mask_key, {'params': params})
+  wrapped = {'params': params}
+  if st.premask_params:
+    # Establish the pre-masked invariant once; masked training gradients
+    # keep inactive weights at zero from here on.
+    wrapped = masks_lib.apply_masks(wrapped, sstate.masks)
   # SparseTraining paths are relative to the {'params': ...} wrapper; keep
   # params wrapped consistently.
   return TrainState(
-      params={'params': params},
+      params=wrapped,
       batch_stats=batch_stats,
       opt_state=opt_state,
       sparse=sstate,

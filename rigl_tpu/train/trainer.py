@@ -103,6 +103,10 @@ class TrainConfig:
   # ~2% TPU cost from every hot-loop step at the price of a second
   # compile; drop/grow family + gradual pruning only.
   static_update_steps: bool = False
+  # Store parameters pre-masked (inactive weights zeroed) so the forward
+  # uses them directly — drops the per-step apply_masks full-params
+  # multiply.  Drop/grow family only (see SparseTraining.premask_params).
+  premask_params: bool = False
 
   # bookkeeping
   seed: int = 0
@@ -322,7 +326,8 @@ class Trainer:
         seed=cfg.seed,
         block=block,
         mask_generator=cfg.mask_type,
-        block_routing=routing)
+        block_routing=routing,
+        premask_params=cfg.premask_params)
 
     has_dropout = cfg.model.startswith('vgg') or (
         cfg.model == 'wide_resnet'

@@ -87,6 +87,7 @@ class SparseTraining:
       block: Optional[Tuple[int, int]] = None,
       mask_generator: Optional[str] = None,
       block_routing: Optional[Mapping[str, str]] = None,
+      premask_params: bool = False,
   ):
     self.tx = tx
     self.algo = algo
@@ -116,6 +117,22 @@ class SparseTraining:
     # density — routing by measurement, not eligibility (PERF.md: heuristic
     # routing regressed e2e step time on every attempt).
     self.block_routing = dict(block_routing or {})
+    # Pre-masked parameter storage: weights are zeroed at inactive
+    # positions at init and kept zero by the masked training gradients, so
+    # the hot path's forward uses `params` DIRECTLY — the per-step
+    # apply_masks multiply (a full read+write of the parameter set)
+    # disappears.  Valid exactly for the drop/grow family (+ scratch):
+    # masked positions get zero training gradient (momentum/decay terms
+    # stay zero), drop/grow zeroes dropped weights at update time, and
+    # grown connections are (re)initialized by grow_init — so effective
+    # weights match the latent-weight representation step for step.
+    # Rejected for prune/dnw/snip, whose re-masking scores the reference's
+    # *frozen latent* values (model_pruning keeps masked weights).
+    self.premask_params = premask_params
+    if premask_params and algo.name in ('prune', 'dnw', 'snip'):
+      raise ValueError(
+          f'premask_params changes {algo.name} semantics: its re-masking '
+          'scores frozen latent weights, which pre-masking zeroes')
     # Per-layer sparsity targets + shapes, filled by init() (host-side).
     self.sparsities: Dict[str, float] = {}
     self.layer_shapes: Dict[str, Tuple[int, ...]] = {}
@@ -352,11 +369,25 @@ class SparseTraining:
             mask, w, score_drop, score_grow, drop_fraction,
             grow_tensor=grow_tensor, reinit_when_same=algo.reinit_when_same)
       new_masks[path] = res.mask
-      new_weights[path] = res.weights
-      new_conn[path] = res.new_connections
       # Momentum of grown connections: zero, or scaled dense gradient
       # (sparse_optimizers_base.py:555-564).
-      reset_vals[path] = g * algo.initial_acc_scale
+      if self.premask_params:
+        # Pre-masked storage: zero dropped connections' weights AND their
+        # optimizer slots (stale momentum would otherwise walk them off
+        # zero despite zero gradients).  The reference keeps latent values
+        # and slots, but both are invisible to effective behavior in the
+        # drop/grow family — regrown connections are re-initialized by
+        # grow_init and drop scores read |mask * w| — so trajectories of
+        # the effective weights agree (tested).
+        dropped = (mask > 0) & (res.mask == 0)
+        new_weights[path] = res.weights * res.mask.astype(res.weights.dtype)
+        new_conn[path] = res.new_connections | dropped
+        reset_vals[path] = jnp.where(dropped, 0.0,
+                                     g * algo.initial_acc_scale)
+      else:
+        new_weights[path] = res.weights
+        new_conn[path] = res.new_connections
+        reset_vals[path] = g * algo.initial_acc_scale
 
     new_params = masks_lib.update_masked(params, new_weights)
     conn_tree = masks_lib.update_masked(

@@ -482,3 +482,57 @@ def test_predict_update_iters_bulk_matches_stepwise():
       last = step
     else:
       step += 1
+
+
+@pytest.mark.parametrize('algo_name', ['rigl', 'set', 'static'])
+def test_premask_params_trajectory_matches_latent(algo_name):
+  """Pre-masked parameter storage follows the latent-weight trajectory:
+  identical masks and identical *effective* parameters at every step."""
+  def build(premask):
+    algo = algorithms.get_algorithm(
+        algo_name, schedule=UpdateSchedule(begin_step=0, end_step=100,
+                                           frequency=3, drop_fraction=0.5))
+    return _make(algo, premask_params=premask)
+
+  n = 8
+  params0 = _params()
+  st_l = build(False)
+  opt_l, ss_l = st_l.init(jax.random.key(0), params0)
+  st_p = build(True)
+  opt_p, ss_p = st_p.init(jax.random.key(0), params0)
+  pl = params0
+  pp = masks_lib.apply_masks(params0, ss_p.masks)
+  fl = jax.jit(st_l.step)
+  fp = jax.jit(st_p.step)
+  for i in range(n):
+    # Gradients of the loss w.r.t. effective params are equal in both
+    # representations; reuse one draw for both.
+    grads = _grads_like(pl, seed=i)
+    pl, opt_l, ss_l, ml = fl(pl, opt_l, ss_l, grads)
+    pp, opt_p, ss_p, mp = fp(pp, opt_p, ss_p, grads)
+    assert bool(ml['mask_updated']) == bool(mp['mask_updated'])
+    for path, m in ss_l.masks.items():
+      np.testing.assert_array_equal(np.asarray(ss_p.masks[path]),
+                                    np.asarray(m), path)
+    eff_l = masks_lib.apply_masks(pl, ss_l.masks)
+    k = 'Dense_0'
+    np.testing.assert_allclose(
+        np.asarray(pp['params'][k]['kernel']),
+        np.asarray(eff_l['params'][k]['kernel']), rtol=1e-6, atol=1e-7,
+        err_msg=f'iter {i}')
+    # The invariant itself: inactive weights are exactly zero.
+    mask = np.asarray(ss_p.masks['Dense_0/kernel'])
+    np.testing.assert_array_equal(
+        np.asarray(pp['params'][k]['kernel']) * (1 - mask), 0.0)
+
+
+def test_premask_params_rejected_for_latent_scoring_algos():
+  for name in ('prune', 'dnw', 'snip'):
+    algo = (algorithms.GradualPruning(schedule=UpdateSchedule(
+        begin_step=0, end_step=8, frequency=2, drop_fraction=0.3))
+        if name == 'prune' else algorithms.get_algorithm(
+            name, schedule=UpdateSchedule(begin_step=0, end_step=8,
+                                          frequency=2, drop_fraction=0.3))
+        if name != 'snip' else algorithms.SNIP())
+    with pytest.raises(ValueError, match='premask_params'):
+      _make(algo, premask_params=True)
