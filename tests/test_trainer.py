@@ -249,3 +249,23 @@ def test_static_update_steps_matches_default(method):
     np.testing.assert_array_equal(np.asarray(t1.state.sparse.masks[p]), m, p)
   np.testing.assert_allclose(r1['final_loss'], r0['final_loss'], rtol=1e-4,
                              atol=1e-6)
+
+
+def test_auto_resume_with_premask_and_hints(tmp_path):
+  """Resume restores the pre-masked invariant and the host-side schedule
+  counters stay consistent across the checkpoint boundary."""
+  kw = dict(training_method='rigl', maskupdate_frequency=2,
+            checkpoint_dir=str(tmp_path / 'run'), log_every=0,
+            premask_params=True, static_update_steps=True)
+  t1 = Trainer(_cfg(train_steps=3, **kw))
+  t1.train()
+  t2 = Trainer(_cfg(train_steps=8, **kw))
+  t2.train()
+  assert int(t2.state.sparse.step) == 8
+  # Invariant survives resume: inactive weights exactly zero.
+  for p, m in t2.state.sparse.masks.items():
+    leaf = t2.state.params['params']
+    for part in p.split('/'):
+      leaf = leaf[part]
+    np.testing.assert_array_equal(
+        np.asarray(leaf) * (1 - np.asarray(m)), 0.0, err_msg=p)
