@@ -95,9 +95,9 @@ class _BlockConv(nn.Module):
     if is_tap and k > 1:
       from rigl_tpu.ops.pallas.block_sparse_conv import tap_batch_ok
       # Spatial tap execution needs an aligned batch (the constant-shift
-      # identity) and odd k for strided layers; 1x1s have no shifts, so
-      # neither applies.
-      if not tap_batch_ok(x.shape[0]) or (self.strides > 1 and k % 2 == 0):
+      # identity) and odd k (the kernel's symmetric ph=k//2 padding differs
+      # from SAME for even k); 1x1s have no shifts, so neither applies.
+      if not tap_batch_ok(x.shape[0]) or k % 2 == 0:
         block_mask = None  # dense fallback (mask already in the weights)
     if block_mask is not None and self.block is not None:
       if is_tap:

@@ -230,6 +230,10 @@ def _conv_impl(x, w4d, packing, block, bm, interpret):
   bk, bn = block
   if cin % bk or cout % bn:
     raise ValueError(f'channels ({cin},{cout}) must divide block {block}')
+  if (kh, kw) != (1, 1) and (kh % 2 == 0 or kw % 2 == 0):
+    raise ValueError(
+        f'tap conv requires odd spatial kernel dims, got ({kh},{kw}): the '
+        'symmetric ph=k//2 padding differs from SAME semantics for even k')
   if not interpret and bm % _ALIGN:
     raise ValueError(f'bm {bm} must be a multiple of {_ALIGN}')
   if kh == 1 and kw == 1:

@@ -248,15 +248,22 @@ def init_train_state(
     st: SparseTraining,
     input_shape: Tuple[int, ...],
     has_batch_stats: bool = True,
+    premask: Optional[bool] = None,
 ) -> TrainState:
-  """Initializes model variables, masks, and optimizer state."""
+  """Initializes model variables, masks, and optimizer state.
+
+  `premask` overrides st.premask_params for the initial zeroing — callers
+  that perform mask/param surgery afterwards (Trainer.init_state) pass
+  False and establish the invariant themselves once the final masks are
+  known, so latent init values are not destroyed under the wrong mask.
+  """
   param_key, mask_key, rng = jax.random.split(key, 3)
   variables = model.init(param_key, jnp.zeros(input_shape), train=False)
   params = variables['params']
   batch_stats = variables.get('batch_stats', {}) if has_batch_stats else {}
   opt_state, sstate = st.init(mask_key, {'params': params})
   wrapped = {'params': params}
-  if st.premask_params:
+  if st.premask_params if premask is None else premask:
     # Establish the pre-masked invariant once; masked training gradients
     # keep inactive weights at zero from here on.
     wrapped = masks_lib.apply_masks(wrapped, sstate.masks)

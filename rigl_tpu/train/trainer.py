@@ -312,7 +312,6 @@ class Trainer:
              if cfg.block_width > 0 and cfg.block_height > 0 else None)
     routing = dict(cfg.block_routing)
     if cfg.block_routing_file:
-      import json
       with open(cfg.block_routing_file) as f:
         file_routing = json.load(f)
       routing = {**file_routing, **routing}
@@ -361,9 +360,15 @@ class Trainer:
   def init_state(self) -> TrainState:
     cfg = self.config
     input_shape = (cfg.batch_size,) + self.data_info['shape']
+    has_surgery = bool(cfg.init_masks_from or cfg.init_params_from
+                       or cfg.shuffle_loaded_masks)
     state = steps.init_train_state(
         jax.random.key(cfg.seed), self.model, self.sparse_training,
-        input_shape)
+        input_shape,
+        # Surgery swaps masks/params below; establish the pre-masked
+        # invariant only once the FINAL masks are known, so latent init
+        # values are not zeroed under the wrong mask.
+        premask=False if has_surgery else None)
     if self.mesh is not None:
       state = jax.device_put(state, mesh_lib.replicated(self.mesh))
       if cfg.n_model_shards > 1:
@@ -398,8 +403,19 @@ class Trainer:
         state = state.replace(sparse=state.sparse.replace(
             masks=shuffle_masks(jax.random.key(cfg.seed + 7),
                                 state.sparse.masks)))
+    if has_surgery:
+      state = self._enforce_premask(state)
     self.state = state
     return state
+
+  def _enforce_premask(self, state: TrainState) -> TrainState:
+    """Re-establishes the pre-masked invariant (params zero at inactive
+    positions) under the state's CURRENT masks; identity when already
+    premasked or when the mode is off."""
+    if not self.config.premask_params:
+      return state
+    return state.replace(
+        params=masks_lib.apply_masks(state.params, state.sparse.masks))
 
   def jitted_train_step(self, step_fn=None):
     step_fn = self._train_step if step_fn is None else step_fn
@@ -433,6 +449,9 @@ class Trainer:
       ckpt_mgr0 = CheckpointManager(cfg.checkpoint_dir)
       if ckpt_mgr0.latest_step() is not None:
         state = ckpt_mgr0.restore(state)
+        # The checkpoint may come from a latent-mode run; re-establish the
+        # pre-masked invariant (identity for premask-mode checkpoints).
+        state = self._enforce_premask(state)
         self.state = state
     n_batches = simulate_step_sequence(
         self.algo, total_steps,
@@ -464,10 +483,14 @@ class Trainer:
       writer = MetricsWriter(cfg.checkpoint_dir)
       ckpt_mgr = ckpt_mgr0 or CheckpointManager(cfg.checkpoint_dir)
 
-    update_batches = (predict_update_batches(
-        self.algo, n_batches, start_step=int(state.sparse.step),
-        start_last_update=int(state.sparse.last_update_step))
-                      if cfg.snapshot_mask_updates else set())
+    if not cfg.snapshot_mask_updates:
+      update_batches = set()
+    elif hint_batches is not None:
+      update_batches = hint_batches  # same simulation, computed above
+    else:
+      update_batches = predict_update_batches(
+          self.algo, n_batches, start_step=int(state.sparse.step),
+          start_last_update=int(state.sparse.last_update_step))
     grad_norm_fn = None
     pre_mgr = post_mgr = None
     if update_batches:

@@ -133,6 +133,12 @@ class SparseTraining:
       raise ValueError(
           f'premask_params changes {algo.name} semantics: its re-masking '
           'scores frozen latent weights, which pre-masking zeroes')
+    if premask_params and getattr(algo, 'grow_init', 'zeros').startswith(
+        'random_'):
+      raise ValueError(
+          f'premask_params changes grow_init={algo.grow_init} semantics: '
+          'its scale statistics (std/mean|w|) are taken over the full '
+          'tensor, which pre-masking zeroes at inactive positions')
     # Per-layer sparsity targets + shapes, filled by init() (host-side).
     self.sparsities: Dict[str, float] = {}
     self.layer_shapes: Dict[str, Tuple[int, ...]] = {}

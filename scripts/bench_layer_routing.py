@@ -176,7 +176,10 @@ def main():
                 (x_c + gx.astype(dtype) * 1e-9))
       return f
 
-    pad = 'SAME' if stride == 1 else [(k // 2, k - 1 - k // 2)] * 2
+    # collect_conv_layers records _BlockConv's input, which for strided
+    # layers is ALREADY fixed-padded (ConvFixedPad pads then calls with
+    # padding='VALID') — so candidates must not pad again.
+    pad = 'SAME' if stride == 1 else 'VALID'
 
     def dense_conv(x_, w_):
       return jax.lax.conv_general_dilated(
@@ -201,15 +204,13 @@ def main():
         if stride == 1:
           return block_sparse_conv_tap(x_, w_, packing, block,
                                        default_tap_bm(), False)
-        # Strided spatial conv (models/common.py _BlockConv): fixed-pad,
-        # stride-1 SAME tap conv, take every s-th window center.
-        pb = (k - 1) // 2
-        xp = jnp.pad(x_, [(0, 0), (pb, k - 1 - pb), (pb, k - 1 - pb),
-                          (0, 0)])
-        y = block_sparse_conv_tap(xp, w_, packing, block,
+        # Strided spatial conv (models/common.py _BlockConv): x_ is the
+        # already-fixed-padded input; stride-1 SAME tap conv, take every
+        # s-th window center.
+        y = block_sparse_conv_tap(x_, w_, packing, block,
                                   default_tap_bm(), False)
-        oh = (xp.shape[1] - k) // stride + 1
-        ow = (xp.shape[2] - k) // stride + 1
+        oh = (x_.shape[1] - k) // stride + 1
+        ow = (x_.shape[2] - k) // stride + 1
         c = k // 2
         return y[:, c:c + stride * (oh - 1) + 1:stride,
                  c:c + stride * (ow - 1) + 1:stride, :]

@@ -269,3 +269,27 @@ def test_auto_resume_with_premask_and_hints(tmp_path):
       leaf = leaf[part]
     np.testing.assert_array_equal(
         np.asarray(leaf) * (1 - np.asarray(m)), 0.0, err_msg=p)
+
+
+def test_init_masks_from_with_premask_preserves_init_values(tmp_path):
+  """Mask surgery + premask: the invariant is established under the FINAL
+  masks, so weights at positions active in the transferred mask (but not
+  the fresh-init mask) keep their init values instead of being zeroed."""
+  cfg_a = _cfg(training_method='set', train_steps=4, maskupdate_frequency=2,
+               checkpoint_dir=str(tmp_path / 'a'), log_every=0)
+  Trainer(cfg_a).train()
+
+  cfg_b = _cfg(training_method='static', train_steps=2, seed=5,
+               init_masks_from=str(tmp_path / 'a'), premask_params=True)
+  state = Trainer(cfg_b).init_state()
+  # Reference: same seed, no surgery, no premask -> raw init params.
+  raw = Trainer(_cfg(training_method='static', train_steps=2,
+                     seed=5)).init_state()
+  for p, m in state.sparse.masks.items():
+    leaf, ref = state.params['params'], raw.params['params']
+    for part in p.split('/'):
+      leaf, ref = leaf[part], ref[part]
+    m = np.asarray(m)
+    np.testing.assert_array_equal(np.asarray(leaf) * (1 - m), 0.0, err_msg=p)
+    np.testing.assert_array_equal(np.asarray(leaf) * m,
+                                  np.asarray(ref) * m, err_msg=p)
