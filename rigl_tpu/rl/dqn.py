@@ -46,6 +46,10 @@ class DQNConfig:
   epsilon_end: float = 0.05
   epsilon_decay_steps: int = 5000
   seed: int = 0
+  # Pre-masked parameter storage (transforms/sparse_training.py): skips
+  # the apply_masks multiply in BOTH the per-env-step action selection and
+  # the learn step.  Drop/grow family only.
+  premask_params: bool = False
 
 
 class DQNState(flax.struct.PyTreeNode):
@@ -89,7 +93,8 @@ class SparseDQN:
         optax.adam(cfg.learning_rate), self.algo,
         distribution=cfg.mask_init_method,
         default_sparsity=cfg.sparsity,
-        seed=cfg.seed)
+        seed=cfg.seed,
+        premask_params=cfg.premask_params)
 
   # ------------------------------------------------------------------------
   def init(self, key: jax.Array) -> DQNState:
@@ -98,6 +103,8 @@ class SparseDQN:
     obs0 = jnp.zeros((1,) + self.env.obs_shape)
     params = {'params': self.net.init(k_param, obs0)['params']}
     opt_state, sstate = self.st.init(k_mask, params)
+    if cfg.premask_params:
+      params = masks_lib.apply_masks(params, sstate.masks)
     return DQNState(
         params=params,
         # Distinct buffers: the jitted step donates its input state, and
@@ -116,7 +123,8 @@ class SparseDQN:
     )
 
   def _q(self, params, masks, obs):
-    eff = masks_lib.apply_masks(params, masks)
+    eff = (params if self.config.premask_params
+           else masks_lib.apply_masks(params, masks))
     return self.net.apply({'params': eff['params']}, obs)
 
   def _epsilon(self, env_steps):
@@ -163,7 +171,8 @@ class SparseDQN:
     cfg = self.config
     key, k_sample = jax.random.split(state.key)
     batch = replay.sample(state.buffer, k_sample, cfg.batch_size)
-    eff = masks_lib.apply_masks(state.params, state.sparse.masks)
+    eff = (state.params if cfg.premask_params
+           else masks_lib.apply_masks(state.params, state.sparse.masks))
     grads = jax.grad(self._loss)(eff, state.target_params,
                                  state.target_masks, batch)
     params, opt_state, sstate, _ = self.st.step(

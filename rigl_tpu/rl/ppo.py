@@ -62,6 +62,9 @@ class PPOConfig:
   value_coef: float = 0.5
   entropy_coef: float = 0.01
   seed: int = 0
+  # Pre-masked parameter storage (transforms/sparse_training.py): skips
+  # the apply_masks multiply in rollout forwards and minibatch steps.
+  premask_params: bool = False
 
 
 class PPOTrainState(flax.struct.PyTreeNode):
@@ -96,13 +99,17 @@ class SparsePPO:
     self.st = SparseTraining(
         optax.adam(cfg.learning_rate), self.algo,
         distribution=cfg.mask_init_method, default_sparsity=cfg.sparsity,
-        seed=cfg.seed)
+        seed=cfg.seed,
+        premask_params=cfg.premask_params)
 
   def init(self, key: jax.Array) -> PPOTrainState:
+    cfg = self.config
     k_param, k_mask, k_env, k_run = jax.random.split(key, 4)
     obs0 = jnp.zeros((1,) + self.env.obs_shape)
     params = {'params': self.net.init(k_param, obs0)['params']}
     opt_state, sstate = self.st.init(k_mask, params)
+    if cfg.premask_params:
+      params = masks_lib.apply_masks(params, sstate.masks)
     return PPOTrainState(
         params=params, opt_state=opt_state, sparse=sstate,
         env_state=self.env.reset(k_env), key=k_run,
@@ -112,7 +119,8 @@ class SparsePPO:
         completed_episodes=jnp.zeros((), jnp.int32))
 
   def _forward(self, params, masks, obs):
-    eff = masks_lib.apply_masks(params, masks)
+    eff = (params if self.config.premask_params
+           else masks_lib.apply_masks(params, masks))
     return self.net.apply({'params': eff['params']}, obs)
 
   # ---------------------------------------------------------------- rollout
@@ -194,7 +202,8 @@ class SparsePPO:
       def minibatch(carry, idx):
         params, opt_state, sstate = carry
         batch = jax.tree.map(lambda x: x[idx], data)
-        eff = masks_lib.apply_masks(params, sstate.masks)
+        eff = (params if cfg.premask_params
+               else masks_lib.apply_masks(params, sstate.masks))
         grads = jax.grad(self._loss)(eff, batch)
         params, opt_state, sstate, _ = self.st.step(params, opt_state,
                                                     sstate, grads)

@@ -86,6 +86,11 @@ class SACConfig:
   min_replay: int = 500
   target_entropy_scale: float = 1.0  # target entropy = -scale * action_dim
   seed: int = 0
+  # Pre-masked parameter storage for the ONLINE actor/critic
+  # (transforms/sparse_training.py).  The polyak-blended target critic
+  # always keeps its mask multiply: blended weights at recently-dropped
+  # positions are nonzero until the mask removes them.
+  premask_params: bool = False
 
 
 class SACState(flax.struct.PyTreeNode):
@@ -132,11 +137,11 @@ class SparseSAC:
     self.actor_st = SparseTraining(
         optax.adam(cfg.learning_rate), build_algorithm(algo_cfg),
         distribution=cfg.mask_init_method, default_sparsity=cfg.sparsity,
-        seed=cfg.seed)
+        seed=cfg.seed, premask_params=cfg.premask_params)
     self.critic_st = SparseTraining(
         optax.adam(cfg.learning_rate), build_algorithm(algo_cfg),
         distribution=cfg.mask_init_method, default_sparsity=cfg.sparsity,
-        seed=cfg.seed + 1)
+        seed=cfg.seed + 1, premask_params=cfg.premask_params)
     self.alpha_tx = optax.adam(cfg.learning_rate)
     self.target_entropy = -cfg.target_entropy_scale * env.action_dim
 
@@ -149,6 +154,10 @@ class SparseSAC:
     critic_params = {'params': self.critic.init(kc, obs0, act0)['params']}
     actor_opt, actor_sparse = self.actor_st.init(kma, actor_params)
     critic_opt, critic_sparse = self.critic_st.init(kmc, critic_params)
+    if cfg.premask_params:
+      actor_params = masks_lib.apply_masks(actor_params, actor_sparse.masks)
+      critic_params = masks_lib.apply_masks(critic_params,
+                                            critic_sparse.masks)
     log_alpha = jnp.zeros(())
     return SACState(
         actor_params=actor_params,
@@ -167,7 +176,9 @@ class SparseSAC:
         completed_returns_sum=jnp.zeros(()),
         completed_episodes=jnp.zeros((), jnp.int32))
 
-  def _actor_vars(self, params, masks):
+  def _actor_vars(self, params, masks, online: bool = True):
+    if online and self.config.premask_params:
+      return {'params': params['params']}
     eff = masks_lib.apply_masks(params, masks)
     return {'params': eff['params']}
 
@@ -203,7 +214,7 @@ class SparseSAC:
         batch['next_obs'], k_next)
     tq1, tq2 = self.critic.apply(
         self._actor_vars(state.target_critic_params,
-                         state.target_critic_masks),
+                         state.target_critic_masks, online=False),
         batch['next_obs'], next_a)
     target_q = batch['reward'] + cfg.gamma * (
         1.0 - batch['done'].astype(jnp.float32)) * (
@@ -215,8 +226,9 @@ class SparseSAC:
                                  batch['action'])
       return ((q1 - target_q) ** 2 + (q2 - target_q) ** 2).mean()
 
-    eff_c = masks_lib.apply_masks(state.critic_params,
-                                  state.critic_sparse.masks)
+    eff_c = (state.critic_params if cfg.premask_params
+             else masks_lib.apply_masks(state.critic_params,
+                                        state.critic_sparse.masks))
     c_grads = jax.grad(critic_loss)(eff_c)
     critic_params, critic_opt, critic_sparse, _ = self.critic_st.step(
         state.critic_params, state.critic_opt, state.critic_sparse, c_grads)
@@ -230,8 +242,9 @@ class SparseSAC:
           batch['obs'], a)
       return (alpha * logp - jnp.minimum(q1, q2)).mean(), logp
 
-    eff_a = masks_lib.apply_masks(state.actor_params,
-                                  state.actor_sparse.masks)
+    eff_a = (state.actor_params if cfg.premask_params
+             else masks_lib.apply_masks(state.actor_params,
+                                        state.actor_sparse.masks))
     a_grads, logp = jax.grad(lambda e: actor_loss(e), has_aux=True)(eff_a)
     actor_params, actor_opt, actor_sparse, _ = self.actor_st.step(
         state.actor_params, state.actor_opt, state.actor_sparse, a_grads)

@@ -288,3 +288,56 @@ def test_sparse_dqn_breakout_conv_smoke():
   assert int(state.env_steps) == 10 * cfg.learn_every
   assert int(metrics['learn_steps']) > 0
   assert np.isfinite(float(metrics['avg_return']))
+
+
+def _assert_premasked(params, masks):
+  from rigl_tpu.sparsity import masks as masks_lib
+  sel = masks_lib.select_masked(params, masks)
+  for p, w in sel.items():
+    np.testing.assert_array_equal(
+        np.asarray(w) * (1 - np.asarray(masks[p])), 0.0, err_msg=p)
+
+
+def test_sparse_dqn_premask_invariant_and_runs():
+  env = CartPole()
+  cfg = DQNConfig(training_method='rigl', sparsity=0.8, buffer_capacity=256,
+                  min_replay=32, batch_size=16, learn_every=4,
+                  epsilon_decay_steps=100, maskupdate_frequency=10,
+                  maskupdate_begin_step=0, premask_params=True)
+  agent = SparseDQN(MLPQNetwork(env.num_actions, hidden=(32, 32)), env, cfg)
+  state = agent.init(jax.random.key(0))
+  step = jax.jit(agent.collect_and_learn)
+  for _ in range(20):
+    state, metrics = step(state)
+  _assert_premasked(state.params, state.sparse.masks)
+  _assert_premasked(state.target_params, state.target_masks)
+  assert float(metrics['learn_steps']) >= 0
+
+
+def test_sparse_ppo_premask_invariant_and_runs():
+  from rigl_tpu.rl.ppo import PPOConfig, SparsePPO
+  cfg = PPOConfig(training_method='rigl', sparsity=0.7, rollout_length=32,
+                  num_epochs=2, num_minibatches=2, maskupdate_frequency=2,
+                  maskupdate_begin_step=0, premask_params=True)
+  algo = SparsePPO(CartPole(), cfg)
+  state = algo.init(jax.random.key(0))
+  step = jax.jit(algo.train_iteration)
+  for _ in range(5):
+    state, metrics = step(state)
+  _assert_premasked(state.params, state.sparse.masks)
+  assert np.isfinite(float(metrics['avg_return']))
+
+
+def test_sparse_sac_premask_invariant_and_runs():
+  from rigl_tpu.rl.envs import Pendulum
+  from rigl_tpu.rl.sac import SACConfig, SparseSAC
+  cfg = SACConfig(training_method='rigl', sparsity=0.6, buffer_capacity=256,
+                  min_replay=32, batch_size=16, maskupdate_frequency=10,
+                  maskupdate_begin_step=0, premask_params=True)
+  algo = SparseSAC(Pendulum(), cfg)
+  state = algo.init(jax.random.key(0))
+  step = jax.jit(algo.collect_and_learn)
+  for _ in range(15):
+    state, metrics = step(state)
+  _assert_premasked(state.actor_params, state.actor_sparse.masks)
+  _assert_premasked(state.critic_params, state.critic_sparse.masks)
