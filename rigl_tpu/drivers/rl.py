@@ -1,13 +1,16 @@
 """Sparse RL driver — parity with rigl/rl/train.py and the tfagents
-entry points: DQN or PPO with any sparse training method, on the pure-JAX
-envs (CartPole for MLP nets, MinAtar-style Breakout for the conv
-Nature-DQN/Impala nets, matching the reference's network zoo
-rl/dqn_agents.py:103-306).
+entry points: DQN, PPO, or SAC with any sparse training method, on the
+pure-JAX envs (CartPole for MLP nets, MinAtar-style Breakout for the conv
+Nature-DQN/Impala nets, Pendulum for SAC's continuous control, matching
+the reference's network zoo rl/dqn_agents.py:103-306 and
+rl/tfagents/sac_train_eval.py).
 
   python -m rigl_tpu.drivers.rl --agent=dqn --training_method=rigl \
       --end_sparsity=0.9 --total_env_steps=20000
   python -m rigl_tpu.drivers.rl --agent=dqn --env=breakout \
       --network=nature --width=0.5 --training_method=set
+  python -m rigl_tpu.drivers.rl --agent=sac --env=pendulum \
+      --training_method=rigl --end_sparsity=0.8
 """
 
 from __future__ import annotations
@@ -17,8 +20,8 @@ import json
 from absl import app, flags
 
 FLAGS = flags.FLAGS
-flags.DEFINE_string('agent', 'dqn', 'dqn | ppo')
-flags.DEFINE_string('env', 'cartpole', 'cartpole | breakout')
+flags.DEFINE_string('agent', 'dqn', 'dqn | ppo | sac')
+flags.DEFINE_string('env', 'cartpole', 'cartpole | breakout | pendulum')
 flags.DEFINE_string('network', 'auto',
                     'auto | mlp | nature | impala (conv nets need an '
                     'image env, i.e. breakout)')
@@ -41,9 +44,34 @@ flags.DEFINE_string('output_dir', None, '')
 def main(argv):
   del argv
   from rigl_tpu.rl import CartPole, MLPQNetwork
-  from rigl_tpu.rl.envs import Breakout
+  from rigl_tpu.rl.envs import Breakout, Pendulum
   from rigl_tpu.rl.networks import ImpalaNet, NatureDQN
-  env = {'cartpole': CartPole, 'breakout': Breakout}[FLAGS.env]()
+  env = {'cartpole': CartPole, 'breakout': Breakout,
+         'pendulum': Pendulum}[FLAGS.env]()
+  method = FLAGS.training_method
+  if method in ('none', 'dense'):
+    method = 'none'
+
+  if FLAGS.agent == 'sac':
+    # SAC builds its own actor/twin-critic towers (rl/sac.py, mirroring the
+    # tfagents sac_train_eval.py wiring); continuous control only.
+    from rigl_tpu.rl.sac import SACConfig, SparseSAC
+    if FLAGS.env != 'pendulum':
+      raise ValueError('SAC needs a continuous-action env (pendulum)')
+    cfg = SACConfig(
+        training_method=method,
+        sparsity=FLAGS.end_sparsity,
+        mask_init_method=FLAGS.mask_init_method,
+        maskupdate_frequency=FLAGS.maskupdate_frequency,
+        maskupdate_begin_step=FLAGS.maskupdate_begin_step,
+        drop_fraction=FLAGS.drop_fraction,
+        learning_rate=FLAGS.learning_rate,
+        seed=FLAGS.seed)
+    agent = SparseSAC(env, cfg)
+    result = agent.train(FLAGS.total_env_steps, log_every=FLAGS.log_every,
+                         progress_fn=print)
+    return _emit(result)
+
   net_kind = FLAGS.network
   if net_kind == 'auto':
     net_kind = ('nature' if FLAGS.env == 'breakout'
@@ -59,10 +87,6 @@ def main(argv):
     network = ImpalaNet(num_actions=env.num_actions, width=FLAGS.width)
   else:
     raise ValueError(f'unknown network {net_kind!r}')
-  method = FLAGS.training_method
-  if method in ('none', 'dense'):
-    method = 'none'
-
   if FLAGS.agent == 'dqn':
     from rigl_tpu.rl import DQNConfig, SparseDQN
     cfg = DQNConfig(
@@ -92,7 +116,10 @@ def main(argv):
     result = agent.train(FLAGS.total_env_steps, progress_fn=print)
   else:
     raise ValueError(f'unknown agent {FLAGS.agent!r}')
+  return _emit(result)
 
+
+def _emit(result):
   print(json.dumps(result, indent=2))
   if FLAGS.output_dir:
     import os

@@ -81,6 +81,10 @@ class _BlockConv(nn.Module):
   kernel_init: Callable = conv_kernel_init()
   block: Optional[Tuple[int, int]] = None
   block_bm: int = 512
+  # Row tile for the tap kernel; None = default_tap_bm() (RIGL_TAP_BM).
+  # Separate from block_bm: the tap grid needs a much larger bm, and a
+  # caller must be able to pin either independently (incl. tap bm=512).
+  block_tap_bm: Optional[int] = None
 
   @nn.compact
   def __call__(self, x):
@@ -106,12 +110,11 @@ class _BlockConv(nn.Module):
         # grid steps are (bm, 128, 128) dots — they need a much larger bm
         # to amortize per-step costs; default_tap_bm / RIGL_TAP_BM).
         from rigl_tpu.ops.pallas.block_sparse_conv import block_sparse_conv_tap
-        bm_tap = None if self.block_bm == 512 else self.block_bm
         xx = x[:, ::self.strides, ::self.strides, :] \
             if (k == 1 and self.strides > 1) else x
         y = block_sparse_conv_tap(
             xx, kernel, jax.lax.stop_gradient(block_mask), block=self.block,
-            bm=bm_tap)
+            bm=self.block_tap_bm)
         if k > 1 and self.strides > 1:
           # Strided spatial conv: the input is already fixed-padded
           # (padding == 'VALID'), so the stride-1 SAME conv above computes
@@ -162,6 +165,7 @@ class ConvFixedPad(nn.Module):
   kernel_init: Callable = conv_kernel_init()
   block: Optional[Tuple[int, int]] = None
   block_bm: int = 512
+  block_tap_bm: Optional[int] = None
 
   @nn.compact
   def __call__(self, x):
@@ -175,7 +179,8 @@ class ConvFixedPad(nn.Module):
           self.features, self.kernel_size, self.strides, padding,
           dtype=self.dtype, use_bias=self.use_bias,
           kernel_init=self.kernel_init, block=self.block,
-          block_bm=self.block_bm, name='conv')(x)
+          block_bm=self.block_bm, block_tap_bm=self.block_tap_bm,
+          name='conv')(x)
     return nn.Conv(
         self.features, (self.kernel_size, self.kernel_size),
         strides=(self.strides, self.strides),

@@ -33,6 +33,7 @@ class _ResidualBlock(nn.Module):
   dtype: Any = jnp.float32
   block: Any = None
   block_bm: int = 512
+  block_tap_bm: int | None = None
 
   @nn.compact
   def __call__(self, x, train: bool):
@@ -40,16 +41,20 @@ class _ResidualBlock(nn.Module):
     if self.use_projection:
       shortcut = common.ConvFixedPad(self.features, 1, self.stride,
                                      dtype=self.dtype, block=self.block,
-                                     block_bm=self.block_bm, name='proj')(x)
+                                     block_bm=self.block_bm,
+                                     block_tap_bm=self.block_tap_bm,
+                                     name='proj')(x)
       shortcut = common.batch_norm(train, dtype=self.dtype,
                                    name='proj_bn')(shortcut)
     y = common.ConvFixedPad(self.features, 3, self.stride, dtype=self.dtype,
                             block=self.block, block_bm=self.block_bm,
+                            block_tap_bm=self.block_tap_bm,
                             name='conv1')(x)
     y = common.batch_norm(train, dtype=self.dtype, name='bn1')(y)
     y = nn.relu(y)
     y = common.ConvFixedPad(self.features, 3, 1, dtype=self.dtype,
                             block=self.block, block_bm=self.block_bm,
+                            block_tap_bm=self.block_tap_bm,
                             name='conv2')(y)
     # Final BN of each block initialized with gamma=0 so residual branches
     # start as identity (the reference relies on the TPU estimator's
@@ -67,6 +72,7 @@ class _BottleneckBlock(nn.Module):
   dtype: Any = jnp.float32
   block: Any = None
   block_bm: int = 512
+  block_tap_bm: int | None = None
 
   @nn.compact
   def __call__(self, x, train: bool):
@@ -75,21 +81,26 @@ class _BottleneckBlock(nn.Module):
     if self.use_projection:
       shortcut = common.ConvFixedPad(out_features, 1, self.stride,
                                      dtype=self.dtype, block=self.block,
-                                     block_bm=self.block_bm, name='proj')(x)
+                                     block_bm=self.block_bm,
+                                     block_tap_bm=self.block_tap_bm,
+                                     name='proj')(x)
       shortcut = common.batch_norm(train, dtype=self.dtype,
                                    name='proj_bn')(shortcut)
     y = common.ConvFixedPad(self.features, 1, 1, dtype=self.dtype,
                             block=self.block, block_bm=self.block_bm,
+                            block_tap_bm=self.block_tap_bm,
                             name='conv1')(x)
     y = common.batch_norm(train, dtype=self.dtype, name='bn1')(y)
     y = nn.relu(y)
     y = common.ConvFixedPad(self.features, 3, self.stride, dtype=self.dtype,
                             block=self.block, block_bm=self.block_bm,
+                            block_tap_bm=self.block_tap_bm,
                             name='conv2')(y)
     y = common.batch_norm(train, dtype=self.dtype, name='bn2')(y)
     y = nn.relu(y)
     y = common.ConvFixedPad(out_features, 1, 1, dtype=self.dtype,
                             block=self.block, block_bm=self.block_bm,
+                            block_tap_bm=self.block_tap_bm,
                             name='conv3')(y)
     y = common.batch_norm(train, dtype=self.dtype, name='bn3',
                           scale_init=nn.initializers.zeros)(y)
@@ -113,6 +124,7 @@ class ResNet(nn.Module):
   dtype: Any = jnp.float32
   block: Any = None
   block_bm: int = 512
+  block_tap_bm: int | None = None
 
   @nn.compact
   def __call__(self, x, train: bool = False):
@@ -135,6 +147,7 @@ class ResNet(nn.Module):
         stride = 2 if (group > 0 and i == 0) else 1
         x = block(feats, stride, use_projection=(i == 0), dtype=self.dtype,
                   block=self.block, block_bm=self.block_bm,
+                  block_tap_bm=self.block_tap_bm,
                   name=f'group{group + 1}_block{i}')(x, train)
 
     x = jnp.mean(x, axis=(1, 2))

@@ -436,11 +436,15 @@ def _dw_gather(x, gy, w_shape, packing, block, bm, interpret):
       interpret=interpret,
   )(cols, rows, deltas, x2d, g2d)
 
-  # Scatter compact blocks into the (T, K/bk, N/bn, bk, bn) grid; dummy and
-  # sentinel entries carry tap = -1, which is out of bounds and dropped.
-  grid5 = jnp.zeros((kh * kw, cin // bk, cout // bn, bk, bn), jnp.float32)
+  # Scatter compact blocks into the (T, K/bk, N/bn, bk, bn) grid.  Dummy
+  # and sentinel entries carry tap = -1, which JAX *wraps* (even under
+  # mode='drop'), so — as in _occupancy3 — the grid gets one extra tap row
+  # for the wrapped -1 to land in, sliced off below.  Relying on mode='drop'
+  # alone would overwrite real blocks at the last tap row nondeterministically.
+  grid5 = jnp.zeros((kh * kw + 1, cin // bk, cout // bn, bk, bn), jnp.float32)
   grid5 = grid5.at[taps[:n_entries], rows[:n_entries],
                    cols[:n_entries]].set(blocks, mode='drop')
+  grid5 = grid5[:kh * kw]
   dw = grid5.transpose(0, 1, 3, 2, 4).reshape(kh * kw, cin, cout)
   return dw.reshape(kh, kw, cin, cout)
 

@@ -86,6 +86,8 @@ class TrainConfig:
   block_execution: bool = False
   block_conv3x3: bool = False
   block_bm: int = 512
+  # Row tile for the tap conv kernel; None = default_tap_bm()/RIGL_TAP_BM.
+  block_tap_bm: Optional[int] = None
   # Only block-execute layers at least this sparse (denser layers skip
   # little and pay kernel overhead; 0 = route every eligible layer).
   block_min_sparsity: float = 0.0
@@ -290,6 +292,8 @@ class Trainer:
       exec_block = (cfg.block_height, cfg.block_width)
       model_kwargs['block'] = exec_block
       model_kwargs['block_bm'] = cfg.block_bm
+      if cfg.block_tap_bm is not None:
+        model_kwargs['block_tap_bm'] = cfg.block_tap_bm
     self._exec_block = exec_block
     self.model = registry.create_model(cfg.model, **model_kwargs)
 
@@ -409,13 +413,26 @@ class Trainer:
     return state
 
   def _enforce_premask(self, state: TrainState) -> TrainState:
-    """Re-establishes the pre-masked invariant (params zero at inactive
-    positions) under the state's CURRENT masks; identity when already
-    premasked or when the mode is off."""
+    """Re-establishes the pre-masked invariant (params AND optimizer slots
+    zero at inactive positions) under the state's CURRENT masks; identity
+    when already premasked or when the mode is off.
+
+    Slots matter: a latent-mode checkpoint restored into a premask run
+    carries momentum at inactive positions, and since masked grads are zero
+    that stale momentum would walk 'premasked' weights off zero."""
     if not self.config.premask_params:
       return state
+    inactive = masks_lib.update_masked(
+        jax.tree.map(lambda w: jnp.zeros(np.shape(w), jnp.bool_),
+                     state.params),
+        {p: m == 0 for p, m in state.sparse.masks.items()})
+    opt_state = optax.tree_map_params(
+        self.sparse_training.tx,
+        lambda slot, inact: jnp.where(inact, jnp.zeros_like(slot), slot),
+        state.opt_state, inactive)
     return state.replace(
-        params=masks_lib.apply_masks(state.params, state.sparse.masks))
+        params=masks_lib.apply_masks(state.params, state.sparse.masks),
+        opt_state=opt_state)
 
   def jitted_train_step(self, step_fn=None):
     step_fn = self._train_step if step_fn is None else step_fn

@@ -271,6 +271,28 @@ def test_auto_resume_with_premask_and_hints(tmp_path):
         np.asarray(leaf) * (1 - np.asarray(m)), 0.0, err_msg=p)
 
 
+def test_latent_checkpoint_into_premask_run(tmp_path):
+  """Restoring a latent-mode checkpoint into a premask run must zero
+  optimizer slots at inactive positions too — latent mode keeps momentum
+  at connections dropped by mask updates, and since masked grads are zero
+  that stale momentum would walk 'premasked' weights off zero."""
+  base = dict(training_method='rigl', maskupdate_frequency=2,
+              checkpoint_dir=str(tmp_path / 'run'), log_every=0)
+  t1 = Trainer(_cfg(train_steps=4, **base))   # latent mode
+  t1.train()
+  # Resume premasked, with no further mask updates in the window so
+  # nothing re-heals the invariant.
+  t2 = Trainer(_cfg(train_steps=7, premask_params=True,
+                    maskupdate_end_step=2, **base))
+  t2.train()
+  for p, m in t2.state.sparse.masks.items():
+    leaf = t2.state.params['params']
+    for part in p.split('/'):
+      leaf = leaf[part]
+    np.testing.assert_array_equal(
+        np.asarray(leaf) * (1 - np.asarray(m)), 0.0, err_msg=p)
+
+
 def test_init_masks_from_with_premask_preserves_init_values(tmp_path):
   """Mask surgery + premask: the invariant is established under the FINAL
   masks, so weights at positions active in the transferred mask (but not
