@@ -45,6 +45,9 @@ class DQNConfig:
   epsilon_start: float = 1.0
   epsilon_end: float = 0.05
   epsilon_decay_steps: int = 5000
+  # L2 on the online network's weights, added to the TD loss
+  # (dqn_agents.py:391-394; tfagents kernel_regularizer parity).
+  weight_decay: float = 0.0
   seed: int = 0
   # Pre-masked parameter storage (transforms/sparse_training.py): skips
   # the apply_masks multiply in BOTH the per-env-step action selection and
@@ -140,7 +143,14 @@ class SparseDQN:
     target = batch['reward'] + cfg.gamma * (
         1.0 - batch['done'].astype(jnp.float32)) * jnp.max(q_next, axis=1)
     target = jax.lax.stop_gradient(target)
-    return optax.huber_loss(q_sa, target).mean()
+    loss = optax.huber_loss(q_sa, target).mean()
+    if cfg.weight_decay:
+      # tf.nn.l2_loss convention: sum(w^2)/2 per tensor
+      # (dqn_agents.py:391-394).
+      l2 = sum(jnp.sum(jnp.square(w)) / 2
+               for w in jax.tree.leaves(eff_params))
+      loss = loss + cfg.weight_decay * l2
+    return loss
 
   # ------------------------------------------------------------------------
   def _env_step(self, carry, _):

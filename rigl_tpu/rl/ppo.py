@@ -61,6 +61,9 @@ class PPOConfig:
   clip_eps: float = 0.2
   value_coef: float = 0.5
   entropy_coef: float = 0.01
+  # L2 on actor/critic weights, added to the clipped objective
+  # (tfagents ppo_train_eval.py weight_decay / kernel_regularizer parity).
+  weight_decay: float = 0.0
   seed: int = 0
   # Pre-masked parameter storage (transforms/sparse_training.py): skips
   # the apply_masks multiply in rollout forwards and minibatch steps.
@@ -182,7 +185,11 @@ class SparsePPO:
         jnp.clip(ratio, 1 - cfg.clip_eps, 1 + cfg.clip_eps) * adv).mean()
     v_loss = jnp.mean((value - batch['ret']) ** 2)
     entropy = -jnp.sum(jnp.exp(logp_all) * logp_all, axis=-1).mean()
-    return pg + cfg.value_coef * v_loss - cfg.entropy_coef * entropy
+    loss = pg + cfg.value_coef * v_loss - cfg.entropy_coef * entropy
+    if cfg.weight_decay:
+      loss = loss + cfg.weight_decay * sum(
+          jnp.sum(jnp.square(w)) / 2 for w in jax.tree.leaves(eff_params))
+    return loss
 
   def train_iteration(self, state: PPOTrainState
                       ) -> Tuple[PPOTrainState, Dict[str, Any]]:

@@ -85,6 +85,9 @@ class SACConfig:
   learn_every: int = 1
   min_replay: int = 500
   target_entropy_scale: float = 1.0  # target entropy = -scale * action_dim
+  # L2 on actor/critic weights, added to their losses (tfagents
+  # sac_train_eval.py train_eval.weight_decay parity).
+  weight_decay: float = 0.0
   seed: int = 0
   # Pre-masked parameter storage for the ONLINE actor/critic
   # (transforms/sparse_training.py).  The polyak-blended target critic
@@ -224,7 +227,11 @@ class SparseSAC:
     def critic_loss(eff):
       q1, q2 = self.critic.apply({'params': eff['params']}, batch['obs'],
                                  batch['action'])
-      return ((q1 - target_q) ** 2 + (q2 - target_q) ** 2).mean()
+      loss = ((q1 - target_q) ** 2 + (q2 - target_q) ** 2).mean()
+      if cfg.weight_decay:
+        loss = loss + cfg.weight_decay * sum(
+            jnp.sum(jnp.square(w)) / 2 for w in jax.tree.leaves(eff))
+      return loss
 
     eff_c = (state.critic_params if cfg.premask_params
              else masks_lib.apply_masks(state.critic_params,
@@ -240,7 +247,11 @@ class SparseSAC:
       q1, q2 = self.critic.apply(
           self._actor_vars(critic_params, critic_sparse.masks),
           batch['obs'], a)
-      return (alpha * logp - jnp.minimum(q1, q2)).mean(), logp
+      loss = (alpha * logp - jnp.minimum(q1, q2)).mean()
+      if cfg.weight_decay:
+        loss = loss + cfg.weight_decay * sum(
+            jnp.sum(jnp.square(w)) / 2 for w in jax.tree.leaves(eff))
+      return loss, logp
 
     eff_a = (state.actor_params if cfg.premask_params
              else masks_lib.apply_masks(state.actor_params,
