@@ -29,7 +29,9 @@ flags.mark_flag_as_required('config')
 
 def load_config(path: str, overrides=()) -> TrainConfig:
   with open(path) as f:
-    raw = json.load(f)
+    # Keys starting with '_' are documentation (_reference citation,
+    # _usage notes), not TrainConfig fields.
+    raw = {k: v for k, v in json.load(f).items() if not k.startswith('_')}
   for ov in overrides:
     key, _, value = ov.partition('=')
     try:

@@ -190,13 +190,15 @@ def build_optimizer(config: TrainConfig, lr_fn) -> optax.GradientTransformation:
   raise ValueError(f'Unknown optimizer {config.optimizer!r}')
 
 
-def build_algorithm(config: TrainConfig) -> algorithms.Algorithm:
+def build_algorithm(config: TrainConfig,
+                    lr_fn=None) -> algorithms.Algorithm:
   sched = UpdateSchedule(
       begin_step=config.maskupdate_begin_step,
       end_step=config.maskupdate_end_step,
       frequency=config.maskupdate_frequency,
       drop_fraction=config.drop_fraction,
       drop_fraction_anneal=config.drop_fraction_anneal,
+      lr_fn=lr_fn,
   )
   name = config.training_method
   kwargs: Dict[str, Any] = {}
@@ -299,7 +301,7 @@ class Trainer:
 
     self.lr_fn = build_lr_fn(cfg, steps_per_epoch)
     tx = build_optimizer(cfg, self.lr_fn)
-    self.algo = build_algorithm(cfg)
+    self.algo = build_algorithm(cfg, lr_fn=self.lr_fn)
 
     custom_map = dict(cfg.custom_sparsity_map)
     # Depthwise kernels (MobileNet) never carry masks — reference convention.

@@ -1,0 +1,173 @@
+"""Conv-lowering headroom study (VERDICT r1 perf 2a follow-up).
+
+bench_ceiling.py pinned: matmul ~90% of bf16 peak net of a ~1.7ms
+per-dispatch floor, HBM ~87% of peak, but XLA convs only ~16% at every
+ResNet-50 shape — the dense baseline's low MFU is conv lowering, not the
+tunnel.  This script measures, floor-free (slope between two lax.scan
+lengths inside one jit), what the same math costs as a dot:
+
+  * each ResNet conv shape as conv_general_dilated (NHWC, bf16)
+  * the exact same contraction as a reshaped matmul (1x1) or an
+    im2col matmul (3x3)
+  * dtype/layout variants (f32 conv, NCHW conv, f32-accum dot)
+
+If dots win big, an all-dot ResNet formulation (whole model, so no
+conv<->dot layout boundaries — the mixed form regressed 2x, PERF.md) is
+the round-2 perf lever, and block-sparse matmul kernels get a real lane.
+
+Usage: python scripts/bench_conv_vs_dot.py  (TPU, ~4-6 min)
+"""
+
+import functools
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PEAK = 197e12
+
+
+def _scan_time(body, carry, length):
+  """Seconds per jit(scan(body, length)) call, synced by readback."""
+  @jax.jit
+  def run(c):
+    c, _ = jax.lax.scan(lambda c, _: (body(c), None), c, None, length=length)
+    return c
+  c = run(carry)
+  _ = float(jax.tree.leaves(c)[0].ravel()[0])  # compile + warm
+  t0 = time.perf_counter()
+  c = run(carry)
+  _ = float(jax.tree.leaves(c)[0].ravel()[0])
+  t1 = time.perf_counter()
+  return t1 - t0
+
+
+def per_iter(body, carry, l_short=8, l_long=24, reps=2):
+  """Per-iteration seconds via the slope between two scan lengths —
+  immune to dispatch floor and scan entry/exit costs."""
+  best = []
+  for _ in range(reps):
+    ts = _scan_time(body, carry, l_short)
+    tl = _scan_time(body, carry, l_long)
+    best.append((tl - ts) / (l_long - l_short))
+  return min(best)
+
+
+def _norm(y, dtype):
+  return (y * jax.lax.rsqrt(
+      jnp.mean(jnp.square(y.astype(jnp.float32))) + 1e-6)).astype(dtype)
+
+
+def conv_body(w, stride, dnums, dtype, cin, cout):
+  def body(x):
+    y = jax.lax.conv_general_dilated(
+        x, w, (stride, stride), 'SAME', dimension_numbers=dnums)
+    y = _norm(y, dtype)
+    if cout == cin:
+      return y
+    ax = -1 if dnums[0] == 'NHWC' else 1
+    if cout > cin:
+      return jax.lax.slice_in_dim(y, 0, cin, axis=ax)
+    reps = -(-cin // cout)
+    return jax.lax.slice_in_dim(
+        jnp.concatenate([y] * reps, axis=ax), 0, cin, axis=ax)
+  return body
+
+
+def matmul_body(w, dtype, k, n, accum_f32=False):
+  def body(x):
+    y = jax.lax.dot(x, w, precision=None,
+                    preferred_element_type=jnp.float32 if accum_f32
+                    else None)
+    y = _norm(y, dtype)
+    if n == k:
+      return y
+    if n > k:
+      return y[:, :k]
+    reps = -(-k // n)
+    return jnp.concatenate([y] * reps, axis=1)[:, :k]
+  return body
+
+
+def main():
+  rng = np.random.default_rng(0)
+  out = {}
+  print(f'# backend={jax.default_backend()}')
+
+  def report(name, t, flops):
+    out[name] = {'us': round(t * 1e6, 1),
+                 'tflops': round(flops / t / 1e12, 1),
+                 'mfu': round(flops / t / PEAK, 3)}
+    print(name, out[name])
+
+  # ---- control: the 4096^3 matmul both ways ------------------------------
+  k = 4096
+  w = jax.device_put(rng.normal(0, k ** -0.5, (k, k)).astype(jnp.bfloat16))
+  x = jax.device_put(rng.normal(0, 1, (k, k)).astype(jnp.bfloat16))
+  t = per_iter(matmul_body(w, jnp.bfloat16, k, k), x)
+  report('dot_4096^3', t, 2.0 * k ** 3)
+
+  # ---- ResNet-50 shapes: conv vs equivalent dot --------------------------
+  # (label, N, HW, Cin, Cout, ksize, stride)
+  shapes = [
+      ('g1_1x1_56x56_64->256', 128, 56, 64, 256, 1, 1),
+      ('g2_1x1_28x28_512->128', 128, 28, 512, 128, 1, 1),
+      ('g2_3x3_28x28_128->128', 128, 28, 128, 128, 3, 1),
+      ('g3_3x3_14x14_256->256', 128, 14, 256, 256, 3, 1),
+      ('g4_3x3_7x7_512->512', 128, 7, 512, 512, 3, 1),
+  ]
+  for label, n_b, hw, cin, cout, ks, stride in shapes:
+    flops = 2.0 * n_b * hw * hw * ks * ks * cin * cout
+    # conv NHWC bf16
+    wc = jax.device_put(rng.normal(0, 0.04, (ks, ks, cin, cout))
+                        .astype(jnp.bfloat16))
+    xc = jax.device_put(rng.normal(0, 1, (n_b, hw, hw, cin))
+                        .astype(jnp.bfloat16))
+    t = per_iter(conv_body(wc, stride, ('NHWC', 'HWIO', 'NHWC'),
+                           jnp.bfloat16, cin, cout), xc)
+    report(f'conv_{label}', t, flops)
+    # the same contraction as a dot: M = N*H*W rows, K = ks*ks*cin
+    m_rows, k_dim = n_b * hw * hw, ks * ks * cin
+    wd = jax.device_put(rng.normal(0, k_dim ** -0.5, (k_dim, cout))
+                        .astype(jnp.bfloat16))
+    xd = jax.device_put(rng.normal(0, 1, (m_rows, k_dim))
+                        .astype(jnp.bfloat16))
+    t = per_iter(matmul_body(wd, jnp.bfloat16, k_dim, cout), xd)
+    report(f'dot_{label}', t, flops)
+
+  # ---- variants on one representative conv -------------------------------
+  n_b, hw, cin, cout, ks = 128, 28, 128, 128, 3
+  flops = 2.0 * n_b * hw * hw * ks * ks * cin * cout
+  # f32 conv
+  wc = jax.device_put(rng.normal(0, 0.04, (ks, ks, cin, cout))
+                      .astype(jnp.float32))
+  xc = jax.device_put(rng.normal(0, 1, (n_b, hw, hw, cin))
+                      .astype(jnp.float32))
+  t = per_iter(conv_body(wc, 1, ('NHWC', 'HWIO', 'NHWC'), jnp.float32,
+                         cin, cout), xc)
+  report('conv_g2_3x3_f32', t, flops)
+  # NCHW conv bf16
+  wc = jax.device_put(rng.normal(0, 0.04, (cout, cin, ks, ks))
+                      .astype(jnp.bfloat16))
+  xc = jax.device_put(rng.normal(0, 1, (n_b, cin, hw, hw))
+                      .astype(jnp.bfloat16))
+  t = per_iter(conv_body(wc, 1, ('NCHW', 'OIHW', 'NCHW'), jnp.bfloat16,
+                         cin, cout), xc)
+  report('conv_g2_3x3_nchw', t, flops)
+  # bigger batch
+  n_b2 = 512
+  wc = jax.device_put(rng.normal(0, 0.04, (ks, ks, cin, cout))
+                      .astype(jnp.bfloat16))
+  xc = jax.device_put(rng.normal(0, 1, (n_b2, hw, hw, cin))
+                      .astype(jnp.bfloat16))
+  t = per_iter(conv_body(wc, 1, ('NHWC', 'HWIO', 'NHWC'), jnp.bfloat16,
+                         cin, cout), xc)
+  report('conv_g2_3x3_b512', t, flops * n_b2 / n_b)
+
+  print(json.dumps(out))
+
+
+if __name__ == '__main__':
+  main()
