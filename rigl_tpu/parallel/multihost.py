@@ -28,8 +28,11 @@ def initialize(coordinator_address: Optional[str] = None,
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)
-  except RuntimeError:
-    pass  # already initialized
+  except RuntimeError as e:
+    # Idempotence only: re-initialization is fine, anything else (bad
+    # coordinator address, rendezvous timeout...) must surface.
+    if 'already initialized' not in str(e).lower():
+      raise
 
 
 def is_primary() -> bool:

@@ -109,6 +109,13 @@ class TrainConfig:
   # uses them directly — drops the per-step apply_masks full-params
   # multiply.  Drop/grow family only (see SparseTraining.premask_params).
   premask_params: bool = False
+  # Runtime guards for the two representation tricks above, checked at
+  # log/eval boundaries and at the end of training (device-side compute,
+  # one scalar readback per boundary): (1) under premask_params, params
+  # must equal params * masks; (2) under static_update_steps, every step's
+  # update_hint must have matched the device-evaluated schedule.  A wrong
+  # hint or a premask violation raises instead of silently diverging.
+  debug_checks: bool = True
 
   # bookkeeping
   seed: int = 0
@@ -117,6 +124,10 @@ class TrainConfig:
   checkpoint_dir: Optional[str] = None
   checkpoint_every: int = 0
   n_synthetic: int = 4096
+  # Dump per-layer mask images every N batches (0 = off) to
+  # checkpoint_dir/mask_images/ — the reference's with_img=True mask
+  # summaries (imagenet_resnet/utils.py:83-90).
+  mask_image_every: int = 0
   # Save pre/post snapshots around every mask update and log the grad-norm
   # change the update produced (rigl_tf2/train.py:418-438).  Update steps
   # are predicted host-side from the deterministic schedule.
@@ -523,6 +534,33 @@ class Trainer:
         post_mgr = CheckpointManager(
             os.path.join(cfg.checkpoint_dir, 'post_update'), max_to_keep=20)
 
+    # Runtime guards (debug_checks): tiny device-side bools, read back only
+    # at boundaries — see _run_debug_checks.
+    hint_ok_buffer: List[Any] = []
+    premask_ok_fn = None
+    if cfg.debug_checks and cfg.premask_params:
+      @jax.jit
+      def premask_ok_fn(params, masks):  # noqa: F811
+        sel = masks_lib.select_masked(params, masks)
+        oks = [jnp.all(jnp.where(masks[p] == 0, sel[p] == 0.0, True))
+               for p in masks]
+        return jnp.all(jnp.stack(oks)) if oks else jnp.asarray(True)
+
+    def _run_debug_checks(state):
+      if hint_ok_buffer:
+        ok = bool(jnp.all(jnp.stack(hint_ok_buffer)))
+        hint_ok_buffer.clear()
+        if not ok:
+          raise RuntimeError(
+              'static_update_steps hint mismatch: a step ran the wrong '
+              'specialized program (host schedule prediction diverged from '
+              'the device-evaluated schedule)')
+      if premask_ok_fn is not None and state.sparse.masks:
+        if not bool(premask_ok_fn(state.params, state.sparse.masks)):
+          raise RuntimeError(
+              'premask invariant violated: params have nonzero values at '
+              'mask-inactive positions (params != params * masks)')
+
     t0 = time.time()
     last_log_t, last_log_i = t0, 0
     profiling = False
@@ -547,6 +585,8 @@ class Trainer:
       # Keep self.state live: the input state's buffers are donated, and
       # progress callbacks (e.g. mask recording) read trainer.state.
       self.state = state
+      if cfg.debug_checks and 'update_hint_ok' in metrics:
+        hint_ok_buffer.append(metrics['update_hint_ok'])
       if is_update_batch:
         post_norm = grad_norm_fn(state, batch)
         if post_mgr:
@@ -564,6 +604,7 @@ class Trainer:
         if progress_fn:
           progress_fn(rec)
       if cfg.log_every and (i + 1) % cfg.log_every == 0:
+        _run_debug_checks(state)
         m = {k: float(v) for k, v in metrics.items()}
         now = time.time()
         m['steps_per_sec'] = (i + 1 - last_log_i) / max(now - last_log_t,
@@ -579,6 +620,7 @@ class Trainer:
         if progress_fn:
           progress_fn(m)
       if (cfg.eval_every and (i + 1) % cfg.eval_every == 0):
+        _run_debug_checks(state)
         em = self.evaluate(state)
         em['step'] = float(i + 1)
         self.metrics_history.append({'eval_' + k: v for k, v in em.items()})
@@ -590,10 +632,17 @@ class Trainer:
       if (ckpt_mgr and cfg.checkpoint_every
           and (i + 1) % cfg.checkpoint_every == 0):
         ckpt_mgr.save(int(state.sparse.step), state)
+      if (cfg.mask_image_every and cfg.checkpoint_dir
+          and (i + 1) % cfg.mask_image_every == 0 and state.sparse.masks):
+        from rigl_tpu.utils.metrics import write_mask_images
+        write_mask_images(cfg.checkpoint_dir, int(state.sparse.step),
+                          state.sparse.masks)
 
     if profiling:
       jax.block_until_ready(state.params)
       jax.profiler.stop_trace()
+    if cfg.debug_checks:
+      _run_debug_checks(state)
     self.state = state
     if ckpt_mgr:
       ckpt_mgr.save(int(state.sparse.step), state, force=True)

@@ -607,6 +607,11 @@ class SparseTraining:
                                   last_update_step=new_last,
                                   block_packs=new_packs)
       metrics['mask_updated'] = is_update
+      if update_hint is not None:
+        # Device-side guard: the hint is a trace-time constant, is_update
+        # the true schedule value — a wrong hint silently diverges, so the
+        # trainer accumulates this bit and fails loudly (Trainer loop).
+        metrics['update_hint_ok'] = is_update == update_hint
       return new_params, new_opt_state, new_sstate, metrics
 
     # --- drop/grow family: SET / RigL / RigLInverted / Static / SNFS -------
@@ -678,4 +683,9 @@ class SparseTraining:
                                 block_packs=new_packs)
     metrics['mask_updated'] = is_update
     metrics['drop_fraction'] = drop_fraction
+    if update_hint is not None:
+      # Device-side guard: the hint is a trace-time constant, is_update the
+      # true schedule value — a wrong hint silently diverges, so the
+      # trainer accumulates this bit and fails loudly (Trainer loop).
+      metrics['update_hint_ok'] = is_update == update_hint
     return new_params, new_opt_state, new_sstate, metrics

@@ -62,6 +62,33 @@ def sparsity_summaries(masks: Mapping[str, jnp.ndarray]) -> Dict[str, Any]:
   return out
 
 
+def mask_images(masks: Mapping[str, jnp.ndarray]) -> Dict[str, Any]:
+  """Per-layer mask *images* (imagenet_resnet/utils.py:83-90 with_img=True):
+  each mask reshaped to 2D (rows = all-but-last dims), as uint8 0/255
+  arrays ready for PNG/GIF encoding or npy dumps."""
+  import numpy as np
+  out = {}
+  for p, m in masks.items():
+    a = np.asarray(m)
+    img = a.reshape(-1, a.shape[-1]) if a.ndim > 1 else a.reshape(1, -1)
+    out[p] = (img > 0).astype(np.uint8) * 255
+  return out
+
+
+def write_mask_images(directory: str, step: int,
+                      masks: Mapping[str, jnp.ndarray]) -> str:
+  """Dumps mask images to <dir>/mask_images/step_<n>.npz (the host_call
+  image-summary equivalent; analysis/visualize.py animates these)."""
+  import numpy as np
+  img_dir = os.path.join(directory, 'mask_images')
+  os.makedirs(img_dir, exist_ok=True)
+  path = os.path.join(img_dir, f'step_{step:08d}.npz')
+  np.savez_compressed(path,
+                      **{p.replace('/', '__'): v
+                         for p, v in mask_images(masks).items()})
+  return path
+
+
 def norm_summaries(tree, prefix: str) -> Dict[str, float]:
   """Global L2 norm of a pytree (grad/param norm scalars)."""
   sq = sum(float(jnp.sum(jnp.square(x.astype(jnp.float32))))

@@ -29,7 +29,10 @@ import numpy as np
 PEAK = 197e12
 
 
-def _scan_time(body, carry, length):
+_FLOOR = None
+
+
+def _scan_time(body, carry, length, reps=3):
   """Seconds per jit(scan(body, length)) call, synced by readback."""
   @jax.jit
   def run(c):
@@ -37,22 +40,28 @@ def _scan_time(body, carry, length):
     return c
   c = run(carry)
   _ = float(jax.tree.leaves(c)[0].ravel()[0])  # compile + warm
-  t0 = time.perf_counter()
-  c = run(carry)
-  _ = float(jax.tree.leaves(c)[0].ravel()[0])
-  t1 = time.perf_counter()
-  return t1 - t0
-
-
-def per_iter(body, carry, l_short=8, l_long=24, reps=2):
-  """Per-iteration seconds via the slope between two scan lengths —
-  immune to dispatch floor and scan entry/exit costs."""
-  best = []
+  best = float('inf')
   for _ in range(reps):
-    ts = _scan_time(body, carry, l_short)
-    tl = _scan_time(body, carry, l_long)
-    best.append((tl - ts) / (l_long - l_short))
-  return min(best)
+    t0 = time.perf_counter()
+    c = run(carry)
+    _ = float(jax.tree.leaves(c)[0].ravel()[0])
+    best = min(best, time.perf_counter() - t0)
+  return best
+
+
+def per_iter(body, carry, length=512):
+  """Per-iteration seconds: one jit'd scan of `length` iterations (one
+  remote compile — compiles cost ~70s over the tunnel, so the 2-length
+  slope method is unaffordable).  The readback RTT on this tunnel is
+  ~28ms, so the scan must be long enough that device time dominates; at
+  512 iterations of >=0.2ms ops the RTT is <0.3% of the total."""
+  global _FLOOR
+  if _FLOOR is None:
+    z = jax.device_put(np.zeros((8, 128), np.float32))
+    _FLOOR = _scan_time(lambda c: c + 1, z, 1, reps=5)
+    print(f'# readback floor: {_FLOOR * 1e3:.2f} ms')
+  t = _scan_time(body, carry, length)
+  return max(t - _FLOOR, 1e-9) / length
 
 
 def _norm(y, dtype):
@@ -92,9 +101,11 @@ def matmul_body(w, dtype, k, n, accum_f32=False):
 
 
 def main():
+  import os
+  part = int(os.environ.get('BENCH_PART', '1'))
   rng = np.random.default_rng(0)
   out = {}
-  print(f'# backend={jax.default_backend()}')
+  print(f'# backend={jax.default_backend()} part={part}')
 
   def report(name, t, flops):
     out[name] = {'us': round(t * 1e6, 1),
@@ -102,23 +113,20 @@ def main():
                  'mfu': round(flops / t / PEAK, 3)}
     print(name, out[name])
 
-  # ---- control: the 4096^3 matmul both ways ------------------------------
-  k = 4096
-  w = jax.device_put(rng.normal(0, k ** -0.5, (k, k)).astype(jnp.bfloat16))
-  x = jax.device_put(rng.normal(0, 1, (k, k)).astype(jnp.bfloat16))
-  t = per_iter(matmul_body(w, jnp.bfloat16, k, k), x)
-  report('dot_4096^3', t, 2.0 * k ** 3)
-
   # ---- ResNet-50 shapes: conv vs equivalent dot --------------------------
   # (label, N, HW, Cin, Cout, ksize, stride)
-  shapes = [
-      ('g1_1x1_56x56_64->256', 128, 56, 64, 256, 1, 1),
-      ('g2_1x1_28x28_512->128', 128, 28, 512, 128, 1, 1),
-      ('g2_3x3_28x28_128->128', 128, 28, 128, 128, 3, 1),
-      ('g3_3x3_14x14_256->256', 128, 14, 256, 256, 3, 1),
-      ('g4_3x3_7x7_512->512', 128, 7, 512, 512, 3, 1),
-  ]
-  for label, n_b, hw, cin, cout, ks, stride in shapes:
+  shapes_all = {
+      1: [
+          ('g2_1x1_28x28_512->128', 128, 28, 512, 128, 1, 1),
+          ('g2_3x3_28x28_128->128', 128, 28, 128, 128, 3, 1),
+          ('g4_3x3_7x7_512->512', 128, 7, 512, 512, 3, 1),
+      ],
+      2: [
+          ('g1_1x1_56x56_64->256', 128, 56, 64, 256, 1, 1),
+          ('g3_3x3_14x14_256->256', 128, 14, 256, 256, 3, 1),
+      ],
+  }
+  for label, n_b, hw, cin, cout, ks, stride in shapes_all[part]:
     flops = 2.0 * n_b * hw * hw * ks * ks * cin * cout
     # conv NHWC bf16
     wc = jax.device_put(rng.normal(0, 0.04, (ks, ks, cin, cout))
@@ -137,34 +145,26 @@ def main():
     t = per_iter(matmul_body(wd, jnp.bfloat16, k_dim, cout), xd)
     report(f'dot_{label}', t, flops)
 
-  # ---- variants on one representative conv -------------------------------
-  n_b, hw, cin, cout, ks = 128, 28, 128, 128, 3
-  flops = 2.0 * n_b * hw * hw * ks * ks * cin * cout
-  # f32 conv
-  wc = jax.device_put(rng.normal(0, 0.04, (ks, ks, cin, cout))
-                      .astype(jnp.float32))
-  xc = jax.device_put(rng.normal(0, 1, (n_b, hw, hw, cin))
-                      .astype(jnp.float32))
-  t = per_iter(conv_body(wc, 1, ('NHWC', 'HWIO', 'NHWC'), jnp.float32,
-                         cin, cout), xc)
-  report('conv_g2_3x3_f32', t, flops)
-  # NCHW conv bf16
-  wc = jax.device_put(rng.normal(0, 0.04, (cout, cin, ks, ks))
-                      .astype(jnp.bfloat16))
-  xc = jax.device_put(rng.normal(0, 1, (n_b, cin, hw, hw))
-                      .astype(jnp.bfloat16))
-  t = per_iter(conv_body(wc, 1, ('NCHW', 'OIHW', 'NCHW'), jnp.bfloat16,
-                         cin, cout), xc)
-  report('conv_g2_3x3_nchw', t, flops)
-  # bigger batch
-  n_b2 = 512
-  wc = jax.device_put(rng.normal(0, 0.04, (ks, ks, cin, cout))
-                      .astype(jnp.bfloat16))
-  xc = jax.device_put(rng.normal(0, 1, (n_b2, hw, hw, cin))
-                      .astype(jnp.bfloat16))
-  t = per_iter(conv_body(wc, 1, ('NHWC', 'HWIO', 'NHWC'), jnp.bfloat16,
-                         cin, cout), xc)
-  report('conv_g2_3x3_b512', t, flops * n_b2 / n_b)
+  if part == 2:
+    # ---- variants on one representative conv -----------------------------
+    n_b, hw, cin, cout, ks = 128, 28, 128, 128, 3
+    flops = 2.0 * n_b * hw * hw * ks * ks * cin * cout
+    # f32 conv
+    wc = jax.device_put(rng.normal(0, 0.04, (ks, ks, cin, cout))
+                        .astype(jnp.float32))
+    xc = jax.device_put(rng.normal(0, 1, (n_b, hw, hw, cin))
+                        .astype(jnp.float32))
+    t = per_iter(conv_body(wc, 1, ('NHWC', 'HWIO', 'NHWC'), jnp.float32,
+                           cin, cout), xc)
+    report('conv_g2_3x3_f32', t, flops)
+    # NCHW conv bf16
+    wc = jax.device_put(rng.normal(0, 0.04, (cout, cin, ks, ks))
+                        .astype(jnp.bfloat16))
+    xc = jax.device_put(rng.normal(0, 1, (n_b, cin, hw, hw))
+                        .astype(jnp.bfloat16))
+    t = per_iter(conv_body(wc, 1, ('NCHW', 'OIHW', 'NCHW'), jnp.bfloat16,
+                           cin, cout), xc)
+    report('conv_g2_3x3_nchw', t, flops)
 
   print(json.dumps(out))
 

@@ -152,3 +152,32 @@ def test_eval_loop_missing_dir_raises(tmp_path):
   with pytest.raises(FileNotFoundError):
     evaluate_checkpoints(t, str(tmp_path / 'nope'), eval_once=True,
                          timeout_seconds=2.0)
+
+
+def test_mask_images(tmp_path):
+  """Mask image summaries (imagenet_resnet/utils.py:83-90 with_img parity)."""
+  import numpy as np
+  from rigl_tpu.utils.metrics import mask_images, write_mask_images
+  masks = {'a/kernel': np.array([[1., 0.], [0., 1.]]),
+           'b/kernel': np.ones((2, 3, 4, 8), np.float32)}
+  imgs = mask_images(masks)
+  assert imgs['a/kernel'].shape == (2, 2)
+  assert imgs['a/kernel'].dtype == np.uint8
+  assert set(np.unique(imgs['a/kernel'])) == {0, 255}
+  assert imgs['b/kernel'].shape == (24, 8)
+
+  path = write_mask_images(str(tmp_path), 7, masks)
+  loaded = np.load(path)
+  np.testing.assert_array_equal(loaded['a__kernel'], imgs['a/kernel'])
+
+
+def test_trainer_mask_image_every(tmp_path):
+  from rigl_tpu.train.trainer import TrainConfig, Trainer
+  import glob as glob_mod
+  cfg = TrainConfig(model='mnist_mlp', dataset='mnist', batch_size=32,
+                    train_steps=4, training_method='set', sparsity=0.5,
+                    maskupdate_frequency=2, n_synthetic=128, log_every=0,
+                    checkpoint_dir=str(tmp_path / 'run'), mask_image_every=2)
+  Trainer(cfg).train()
+  files = glob_mod.glob(str(tmp_path / 'run' / 'mask_images' / '*.npz'))
+  assert len(files) == 2, files

@@ -271,6 +271,45 @@ def test_auto_resume_with_premask_and_hints(tmp_path):
         np.asarray(leaf) * (1 - np.asarray(m)), 0.0, err_msg=p)
 
 
+def test_wrong_update_hint_fails_loudly(monkeypatch):
+  """debug_checks: a deliberately-wrong host schedule prediction must raise
+  instead of silently diverging (VERDICT r1 weak #5)."""
+  from rigl_tpu.train import trainer as trainer_mod
+
+  real = trainer_mod.predict_update_batches
+
+  def wrong(algo, n_batches, **kw):
+    return {b + 1 for b in real(algo, n_batches, **kw) if b + 1 < n_batches}
+
+  monkeypatch.setattr(trainer_mod, 'predict_update_batches', wrong)
+  t = Trainer(_cfg(training_method='rigl', static_update_steps=True,
+                   log_every=4))
+  with pytest.raises(RuntimeError, match='hint mismatch'):
+    t.train(total_steps=6)
+
+
+def test_premask_violation_fails_loudly():
+  """debug_checks: params drifting off zero at inactive positions raise."""
+  import jax.numpy as jnp
+  t = Trainer(_cfg(training_method='rigl', premask_params=True,
+                   maskupdate_begin_step=100, log_every=1))
+  t.init_state()
+  # Corrupt one inactive weight.
+  path = next(iter(t.state.sparse.masks))
+  leaf = t.state.params['params']
+  parts = path.split('/')
+  for part in parts[:-1]:
+    leaf = leaf[part]
+  w = np.asarray(leaf[parts[-1]])
+  m = np.asarray(t.state.sparse.masks[path])
+  idx = np.argwhere(m.reshape(-1) == 0)[0][0]
+  w = w.reshape(-1).copy()
+  w[idx] = 0.5
+  leaf[parts[-1]] = jnp.asarray(w.reshape(m.shape))
+  with pytest.raises(RuntimeError, match='premask invariant'):
+    t.train(total_steps=2)
+
+
 def test_latent_checkpoint_into_premask_run(tmp_path):
   """Restoring a latent-mode checkpoint into a premask run must zero
   optimizer slots at inactive positions too — latent mode keeps momentum
