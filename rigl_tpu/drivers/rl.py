@@ -29,7 +29,9 @@ flags.DEFINE_string('config', None,
                     'agent config dataclass.  Keys starting with "_" are '
                     'documentation.  Explicit CLI flags override the preset.')
 flags.DEFINE_string('agent', 'dqn', 'dqn | ppo | sac')
-flags.DEFINE_string('env', 'cartpole', 'cartpole | breakout | pendulum')
+flags.DEFINE_string('env', 'cartpole',
+                    'cartpole | breakout | freeway | asterix | '
+                    'space_invaders | pendulum')
 flags.DEFINE_string('network', 'auto',
                     'auto | mlp | nature | impala (conv nets need an '
                     'image env, i.e. breakout)')
@@ -79,10 +81,12 @@ def run(agent='dqn', env='cartpole', network='auto', width=1.0,
         progress_fn=print):
   """Builds the requested agent and trains it; returns the result dict."""
   from rigl_tpu.rl import CartPole, MLPQNetwork
-  from rigl_tpu.rl.envs import Breakout, Pendulum
+  from rigl_tpu.rl.envs import (Asterix, Breakout, Freeway, Pendulum,
+                                SpaceInvaders)
   from rigl_tpu.rl.networks import ImpalaNet, NatureDQN
   env_obj = {'cartpole': CartPole, 'breakout': Breakout,
-             'pendulum': Pendulum}[env]()
+             'freeway': Freeway, 'asterix': Asterix,
+             'space_invaders': SpaceInvaders, 'pendulum': Pendulum}[env]()
   method = 'none' if training_method in ('none', 'dense') else training_method
 
   common = dict(
@@ -110,7 +114,8 @@ def run(agent='dqn', env='cartpole', network='auto', width=1.0,
 
   net_kind = network
   if net_kind == 'auto':
-    net_kind = 'nature' if env == 'breakout' and agent == 'dqn' else 'mlp'
+    image_envs = ('breakout', 'freeway', 'asterix', 'space_invaders')
+    net_kind = 'nature' if env in image_envs and agent == 'dqn' else 'mlp'
   if agent == 'ppo' and net_kind != 'mlp':
     raise ValueError('PPO uses the MLP actor-critic towers '
                      '(rl/ppo.py); conv networks are DQN-only')

@@ -1,0 +1,127 @@
+"""MinAtar-set env tests (Freeway / Asterix / SpaceInvaders): dynamics,
+Markov observations (full state in the obs channels), and DQN integration
+— the conv-network workload the reference drives through Dopamine Atari
+(rl/dqn_agents.py:211-306, rl/sparsetrain_configs/)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rigl_tpu.rl.envs import Asterix, EnvState, Freeway, SpaceInvaders
+
+ENVS = [Freeway, Asterix, SpaceInvaders]
+
+
+@pytest.mark.parametrize('env_cls', ENVS, ids=lambda c: c.__name__)
+def test_env_scan_smoke(env_cls):
+  """A full random-policy rollout compiles into one lax.scan."""
+  env = env_cls()
+  state = env.reset(jax.random.key(0))
+  assert state.obs.shape == env.obs_shape
+
+  def body(carry, _):
+    s, key = carry
+    key, k = jax.random.split(key)
+    a = jax.random.randint(k, (), 0, env.num_actions)
+    s, r, d = env.step(s, a)
+    return (s, key), (r, d)
+
+  (s, _), (rs, ds) = jax.jit(
+      lambda s0: jax.lax.scan(body, (s0, jax.random.key(1)), None,
+                              length=200))(state)
+  assert np.all(np.isfinite(np.asarray(rs)))
+  assert np.asarray(s.obs).shape == env.obs_shape
+  assert np.all(np.asarray(s.obs) >= 0) and np.all(np.asarray(s.obs) <= 1)
+
+
+@pytest.mark.parametrize('env_cls', ENVS, ids=lambda c: c.__name__)
+def test_observation_is_markov(env_cls):
+  """Stepping twice from a reconstructed obs gives identical trajectories —
+  the obs carries the complete state."""
+  env = env_cls()
+  s = env.reset(jax.random.key(2))
+  for i in range(7):
+    s, _, _ = env.step(s, jnp.asarray(i % env.num_actions))
+  clone = EnvState(obs=s.obs, done=s.done, t=s.t, key=s.key)
+  s1, r1, d1 = env.step(s, jnp.asarray(1))
+  s2, r2, d2 = env.step(clone, jnp.asarray(1))
+  np.testing.assert_array_equal(np.asarray(s1.obs), np.asarray(s2.obs))
+  assert float(r1) == float(r2)
+
+
+def test_freeway_up_policy_scores():
+  """Always-up reaches the top and earns rewards; collisions reset the
+  player but never terminate (MinAtar semantics)."""
+  env = Freeway()
+  s = env.reset(jax.random.key(0))
+  step = jax.jit(env.step)
+  total = 0.0
+  for _ in range(200):
+    s, r, d = step(s, jnp.asarray(1))
+    total += float(r)
+    assert not bool(d) or int(s.t) == 0  # done only via max_steps
+  assert total >= 1.0, 'always-up must cross at least once in 200 steps'
+
+
+def test_asterix_enemy_ends_episode():
+  """Walking the player into lanes eventually hits an enemy -> done."""
+  env = Asterix()
+  s = env.reset(jax.random.key(0))
+  step = jax.jit(env.step)
+  saw_done = saw_reward = False
+  rng = np.random.default_rng(0)
+  for _ in range(600):
+    a = jnp.asarray(int(rng.integers(0, env.num_actions)))
+    s, r, d = step(s, a)
+    saw_reward |= float(r) > 0
+    if bool(d) and int(s.t) == 0:
+      saw_done = True
+      break
+  assert saw_done, 'random walk must eventually touch an enemy'
+
+
+def test_space_invaders_shooting_scores():
+  """Stationary fire-when-possible destroys aliens; reward accrues and the
+  alien block keeps marching (direction code round-trips)."""
+  env = SpaceInvaders()
+  s = env.reset(jax.random.key(1))
+  step = jax.jit(env.step)
+  total = 0.0
+  for i in range(120):
+    s, r, d = step(s, jnp.asarray(3))
+    total += float(r)
+    if bool(d):
+      break
+  assert total >= 1.0, 'firing from under the block must hit aliens'
+
+
+def test_space_invaders_alien_landing_or_bullet_ends():
+  env = SpaceInvaders()
+  s = env.reset(jax.random.key(0))
+  step = jax.jit(env.step)
+  for i in range(400):
+    s, r, d = step(s, jnp.asarray(0))  # never fire, never move
+    if bool(d):
+      assert int(s.t) == 0
+      return
+  pytest.fail('noop policy must die to a bullet or landing aliens')
+
+
+def test_dqn_runs_on_new_envs():
+  """The sparse DQN stack (Nature conv net) trains on each new env."""
+  from rigl_tpu.rl import DQNConfig, SparseDQN
+  from rigl_tpu.rl.networks import NatureDQN
+  for env_cls in ENVS:
+    env = env_cls()
+    cfg = DQNConfig(training_method='set', sparsity=0.5,
+                    maskupdate_begin_step=1, maskupdate_frequency=2,
+                    buffer_capacity=128, batch_size=8, min_replay=10,
+                    learn_every=2)
+    agent = SparseDQN(NatureDQN(num_actions=env.num_actions, width=0.25),
+                      env, cfg)
+    state = agent.init(jax.random.key(0))
+    run = jax.jit(agent.collect_and_learn)
+    for _ in range(8):
+      state, metrics = run(state)
+    assert np.isfinite(float(metrics['avg_return'])), env_cls.__name__
