@@ -102,10 +102,23 @@ def main():
         begin_step=0, end_step=25000, frequency=100, drop_fraction=0.3,
         drop_fraction_anneal='cosine'))
             if method == 'rigl' else algorithms.DENSE)
+    # Reference first/last-layer defaults (imagenet_train_eval.py:246-255):
+    # first conv NOT masked (first_layer_sparsity=0), last dense masked at
+    # the default sparsity.  ERK's solver forces the first conv ~dense by
+    # itself; for uniform the exclusion is what makes the published
+    # uniform@80 operating point (README.md:66).
+    from rigl_tpu.sparsity import masks as masks_lib
+
+    def mask_rule(path, leaf):
+      if path.startswith('initial_conv'):
+        return False
+      return masks_lib.default_mask_rule(path, leaf)
+
     st = SparseTraining(optax.sgd(0.1, momentum=0.9, nesterov=True), algo,
                         distribution=dist,
                         default_sparsity=sparsity, block=use_block,
                         block_routing=block_routing,
+                        mask_rule=mask_rule,
                         premask_params=(method == 'rigl'))
     state = steps.init_train_state(jax.random.key(0), model, st,
                                    (batch, image, image, 3))
