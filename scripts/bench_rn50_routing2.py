@@ -86,7 +86,7 @@ def run_1x1(name, hw, cin, cout, density, results):
   x0 = jax.device_put(rng.normal(0, 1, (BATCH, hw, hw, cin))
                       .astype(jnp.bfloat16))
   acc0 = jnp.zeros((), jnp.float32)
-  blk = (min(BLOCK[0], cin), min(BLOCK[1], cout))
+  blk = BLOCK
   nk, nn = cin // blk[0], cout // blk[1]
   occ = uniform_block_mask(0, nk, nn, density)
   from rigl_tpu.ops.block_mask import expand_from_blocks
@@ -150,8 +150,10 @@ CONFIGS = {
     # 1x1s: uniform-80 density everywhere (ERK makes g1/g2 1x1s ~dense,
     # no routing question; g3/g4 ERK 1x1 densities ~0.5+ are above any
     # plausible skip threshold).
-    'd56_64_256': lambda r: run_1x1('d56_64_256', 56, 64, 256, 0.2, r),
-    'd56_256_64': lambda r: run_1x1('d56_256_64', 56, 256, 64, 0.2, r),
+    # g1's 1x1s (64<->256) are ineligible: the v3 kernel slices K/N by
+    # the block size on the lane dim, which must be a multiple of 128 —
+    # cin/cout 64 routes dense by construction (block_executable_layers
+    # already gates on divisibility).
     'd28_512_128': lambda r: run_1x1('d28_512_128', 28, 512, 128, 0.2, r),
     'd28_128_512': lambda r: run_1x1('d28_128_512', 28, 128, 512, 0.2, r),
     'd14_1024_256': lambda r: run_1x1('d14_1024_256', 14, 1024, 256, 0.2, r),
