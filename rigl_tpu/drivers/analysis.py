@@ -31,6 +31,8 @@ import jax
 import numpy as np
 from absl import app, flags
 
+from rigl_tpu.drivers.common import safe_flags
+
 FLAGS = flags.FLAGS
 
 
@@ -39,30 +41,30 @@ def _define_flags():
   # drivers (rl.py, train.py) define overlapping names ('config');
   # importing this module for its run_* functions must stay
   # side-effect-free.
-  flags.DEFINE_string('config', None,
+  safe_flags.DEFINE_string('config', None,
                       'optional analysis preset JSON (configs/*_hessian.json '
                       'etc.); keys mirror these flags; "_" keys are docs')
-  flags.DEFINE_string('mode', None, 'hessian | interpolate | metainit')
-  flags.DEFINE_string('run_dir', None,
+  safe_flags.DEFINE_string('mode', None, 'hessian | interpolate | metainit')
+  safe_flags.DEFINE_string('run_dir', None,
                       'training run output dir (config.json + checkpoints)')
-  flags.DEFINE_string('config_from', None,
+  safe_flags.DEFINE_string('config_from', None,
                       'path to the run\'s config.json when run_dir points '
                       'elsewhere (e.g. a pre_update/ snapshot dir)')
-  flags.DEFINE_list('ckpt_steps', [],
+  safe_flags.DEFINE_list('ckpt_steps', [],
                     'checkpoint steps to analyze (hessian); empty = all')
-  flags.DEFINE_integer('batch_size', 0,
+  safe_flags.DEFINE_integer('batch_size', 0,
                        'analysis batch size; 0 = the run\'s eval batch '
                        '(reference hessian.gin uses the full train set)')
-  flags.DEFINE_integer('lanczos_order', 0,
+  safe_flags.DEFINE_integer('lanczos_order', 0,
                        '0 = exact dense Hessian (small models); >0 = '
                        'stochastic Lanczos quadrature of this order')
-  flags.DEFINE_integer('step_a', -1, 'interpolate: first checkpoint step')
-  flags.DEFINE_integer('step_b', -1, 'interpolate: second checkpoint step')
-  flags.DEFINE_float('i_start', -0.2, 'interpolate.gin i_start')
-  flags.DEFINE_float('i_end', 1.2, 'interpolate.gin i_end')
-  flags.DEFINE_integer('n_points', 29, 'interpolate.gin n_interpolation')
-  flags.DEFINE_integer('metainit_steps', 100, 'metainit optimization steps')
-  flags.DEFINE_string('output', None, 'results JSON path; default stdout')
+  safe_flags.DEFINE_integer('step_a', -1, 'interpolate: first checkpoint step')
+  safe_flags.DEFINE_integer('step_b', -1, 'interpolate: second checkpoint step')
+  safe_flags.DEFINE_float('i_start', -0.2, 'interpolate.gin i_start')
+  safe_flags.DEFINE_float('i_end', 1.2, 'interpolate.gin i_end')
+  safe_flags.DEFINE_integer('n_points', 29, 'interpolate.gin n_interpolation')
+  safe_flags.DEFINE_integer('metainit_steps', 100, 'metainit optimization steps')
+  safe_flags.DEFINE_string('output', None, 'results JSON path; default stdout')
 
 
 

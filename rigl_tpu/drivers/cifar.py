@@ -11,14 +11,15 @@ from __future__ import annotations
 from absl import app, flags
 
 from rigl_tpu.drivers import common
+from rigl_tpu.drivers.common import safe_flags
 
 FLAGS = flags.FLAGS
 common.define_common_flags(default_method='rigl', default_sparsity=0.9,
                            default_steps=97656, default_batch=128,
                            default_frequency=100, default_end_step=75000,
                            default_weight_decay=5e-4)
-flags.DEFINE_integer('resnet_depth', 22, 'WRN depth (6n+4)')
-flags.DEFINE_integer('resnet_width', 2, 'WRN width multiplier')
+safe_flags.DEFINE_integer('resnet_depth', 22, 'WRN depth (6n+4)')
+safe_flags.DEFINE_integer('resnet_width', 2, 'WRN width multiplier')
 
 
 def main(argv):

@@ -13,6 +13,7 @@ from __future__ import annotations
 from absl import app, flags
 
 from rigl_tpu.drivers import common
+from rigl_tpu.drivers.common import safe_flags
 
 FLAGS = flags.FLAGS
 common.define_common_flags(default_method='rigl', default_sparsity=0.8,
@@ -20,17 +21,17 @@ common.define_common_flags(default_method='rigl', default_sparsity=0.8,
                            default_frequency=100, default_end_step=25000,
                            default_weight_decay=1e-4,
                            default_label_smoothing=0.1)
-flags.DEFINE_string('model_architecture', 'resnet',
+safe_flags.DEFINE_string('model_architecture', 'resnet',
                     'resnet|mobilenet_v1|mobilenet_v2|vgg_16|vgg_19|vgg_a')
-flags.DEFINE_integer('resnet_depth', 50, '')
-flags.DEFINE_float('width', 1.0, 'width multiplier')
-flags.DEFINE_bool('prune_first_layer', False,
+safe_flags.DEFINE_integer('resnet_depth', 50, '')
+safe_flags.DEFINE_float('width', 1.0, 'width multiplier')
+safe_flags.DEFINE_bool('prune_first_layer', False,
                   'mask the first conv (default dense, like the reference '
                   'first_layer_sparsity=0)')
-flags.DEFINE_bool('prune_last_layer', True, '')
-flags.DEFINE_float('first_layer_sparsity', -1.0, 'override; <0 disabled')
-flags.DEFINE_float('last_layer_sparsity', -1.0, '')
-flags.DEFINE_integer('n_model_shards', 1, "size of the mesh 'model' axis")
+safe_flags.DEFINE_bool('prune_last_layer', True, '')
+safe_flags.DEFINE_float('first_layer_sparsity', -1.0, 'override; <0 disabled')
+safe_flags.DEFINE_float('last_layer_sparsity', -1.0, '')
+safe_flags.DEFINE_integer('n_model_shards', 1, "size of the mesh 'model' axis")
 
 
 def main(argv):

@@ -13,6 +13,7 @@ import numpy as np
 from absl import app, flags
 
 from rigl_tpu.drivers import common
+from rigl_tpu.drivers.common import safe_flags
 from rigl_tpu.models.mlp import MnistMLP
 
 FLAGS = flags.FLAGS
@@ -20,10 +21,10 @@ common.define_common_flags(default_method='rigl', default_sparsity=0.98,
                            default_steps=40000, default_batch=100,
                            default_frequency=100, default_end_step=50000,
                            default_anneal='cosine', default_lr=0.2)
-flags.DEFINE_float('sparsity_scale', 0.9,
+safe_flags.DEFINE_float('sparsity_scale', 0.9,
                    'layer2 sparsity = end_sparsity * scale '
                    '(mnist_train_eval.py:269-272)')
-flags.DEFINE_bool('record_masks', False,
+safe_flags.DEFINE_bool('record_masks', False,
                   'dump mask snapshots to .npy (mnist_train_eval.py:410-415)')
 
 

@@ -22,36 +22,38 @@ import json
 
 from absl import app, flags
 
+from rigl_tpu.drivers.common import safe_flags
+
 FLAGS = flags.FLAGS
-flags.DEFINE_string('config', None,
+safe_flags.DEFINE_string('config', None,
                     'path to an rl_*.json preset (configs/); keys mirror '
                     'these flags, plus "agent_kwargs" passed through to the '
                     'agent config dataclass.  Keys starting with "_" are '
                     'documentation.  Explicit CLI flags override the preset.')
-flags.DEFINE_string('agent', 'dqn', 'dqn | ppo | sac')
-flags.DEFINE_string('env', 'cartpole',
+safe_flags.DEFINE_string('agent', 'dqn', 'dqn | ppo | sac')
+safe_flags.DEFINE_string('env', 'cartpole',
                     'cartpole | breakout | freeway | asterix | '
                     'space_invaders | pendulum')
-flags.DEFINE_string('network', 'auto',
+safe_flags.DEFINE_string('network', 'auto',
                     'auto | mlp | nature | impala (conv nets need an '
                     'image env, i.e. breakout)')
-flags.DEFINE_float('width', 1.0, 'network width multiplier '
+safe_flags.DEFINE_float('width', 1.0, 'network width multiplier '
                    '(dqn_agents.py:211-306)')
-flags.DEFINE_string('training_method', 'rigl',
+safe_flags.DEFINE_string('training_method', 'rigl',
                     'rigl|set|static|momentum|prune|snip|dnw|none')
-flags.DEFINE_float('end_sparsity', 0.9, '')
-flags.DEFINE_string('mask_init_method', 'erdos_renyi_kernel', '')
-flags.DEFINE_integer('total_env_steps', 20000, '')
-flags.DEFINE_integer('maskupdate_frequency', 500, 'in learn steps')
-flags.DEFINE_integer('maskupdate_begin_step', 200, '')
-flags.DEFINE_integer('maskupdate_end_step', -1, 'in learn steps; -1 forever')
-flags.DEFINE_float('drop_fraction', 0.3, '')
-flags.DEFINE_float('learning_rate', 1e-3, '')
-flags.DEFINE_float('weight_decay', 0.0, 'L2 added to the loss '
+safe_flags.DEFINE_float('end_sparsity', 0.9, '')
+safe_flags.DEFINE_string('mask_init_method', 'erdos_renyi_kernel', '')
+safe_flags.DEFINE_integer('total_env_steps', 20000, '')
+safe_flags.DEFINE_integer('maskupdate_frequency', 500, 'in learn steps')
+safe_flags.DEFINE_integer('maskupdate_begin_step', 200, '')
+safe_flags.DEFINE_integer('maskupdate_end_step', -1, 'in learn steps; -1 forever')
+safe_flags.DEFINE_float('drop_fraction', 0.3, '')
+safe_flags.DEFINE_float('learning_rate', 1e-3, '')
+safe_flags.DEFINE_float('weight_decay', 0.0, 'L2 added to the loss '
                    '(dqn_agents.py:391-394)')
-flags.DEFINE_integer('seed', 0, '')
-flags.DEFINE_integer('log_every', 1000, '')
-flags.DEFINE_string('output_dir', None, '')
+safe_flags.DEFINE_integer('seed', 0, '')
+safe_flags.DEFINE_integer('log_every', 1000, '')
+safe_flags.DEFINE_string('output_dir', None, '')
 
 # Driver option keys a preset may set (everything in run()'s signature).
 _OPTION_KEYS = ('agent', 'env', 'network', 'width', 'training_method',

@@ -16,14 +16,16 @@ import json
 
 from absl import app, flags
 
+from rigl_tpu.drivers.common import safe_flags
+
 from rigl_tpu.train.trainer import TrainConfig, Trainer
 
 FLAGS = flags.FLAGS
-flags.DEFINE_string('config', None, 'path to a TrainConfig JSON preset')
-flags.DEFINE_multi_string('override', [],
+safe_flags.DEFINE_string('config', None, 'path to a TrainConfig JSON preset')
+safe_flags.DEFINE_multi_string('override', [],
                           'field=value overrides (value parsed as python '
                           'literal when possible)')
-flags.DEFINE_string('output_dir', None, '')
+safe_flags.DEFINE_string('output_dir', None, '')
 flags.mark_flag_as_required('config')
 
 
