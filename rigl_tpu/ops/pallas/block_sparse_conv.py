@@ -248,10 +248,17 @@ def _conv_impl(x, w4d, packing, block, bm, interpret):
     if m_pad != m:
       x2d = jnp.pad(x2d, [(0, m_pad - m), (0, 0)])
     cols, rows, taps = packing['cols'], packing['rows'], packing['taps']
-    valid = (taps >= 0).astype(jnp.int32)
-    deltas = (valid * _OFF_BITS).astype(jnp.int32)
-    y2d = _shift_matmul(x2d, w4d.reshape(1, cin, cout), cols, rows, deltas,
-                        m_pad, block, bm, interpret)
+    w1 = w4d.reshape(1, cin, cout)
+    if default_tap_engine() == 'v5':
+      starts, ks = _tapcol_pack(cols, rows, taps, 1, cout // bn)
+      y2d = _shift_matmul_v5(x2d, w1, starts, ks, m_pad, block, bm,
+                             interpret, n_batch=n, kh=1, kw=1, wp=1,
+                             t_off=0)
+    else:
+      valid = (taps >= 0).astype(jnp.int32)
+      deltas = (valid * _OFF_BITS).astype(jnp.int32)
+      y2d = _shift_matmul(x2d, w1, cols, rows, deltas,
+                          m_pad, block, bm, interpret)
     return y2d[:m].reshape(n, h, w_dim, cout)
   if not interpret and n % _ALIGN:
     raise ValueError(
@@ -280,18 +287,154 @@ def _conv_impl(x, w4d, packing, block, bm, interpret):
   staged = staged.at[top_img + ph:top_img + ph + h, pw:pw + w_dim].set(xt)
   x2d = staged.reshape(-1, cin)
   w9 = w4d.reshape(kh * kw, cin, cout)
-  # Entry encoding: tap * 2**22 + valid * 2**21 + buffer row offset.
-  valid = (taps >= 0).astype(jnp.int32)
-  tap_safe = jnp.maximum(taps, 0)
-  offset = t_off + valid * (
-      (tap_safe // kw - ph) * wp + (tap_safe % kw - pw)) * n
-  deltas = (tap_safe * _TAP_BITS + valid * _OFF_BITS
-            + offset).astype(jnp.int32)
+  if default_tap_engine() == 'v5':
+    starts, ks = _tapcol_pack(cols, rows, taps, kh * kw, cout // bn)
+    y2d = _shift_matmul_v5(x2d, w9, starts, ks, m_pad, block, bm,
+                           interpret, n_batch=n, kh=kh, kw=kw, wp=wp,
+                           t_off=t_off)
+  else:
+    # Entry encoding: tap * 2**22 + valid * 2**21 + buffer row offset.
+    valid = (taps >= 0).astype(jnp.int32)
+    tap_safe = jnp.maximum(taps, 0)
+    offset = t_off + valid * (
+        (tap_safe // kw - ph) * wp + (tap_safe % kw - pw)) * n
+    deltas = (tap_safe * _TAP_BITS + valid * _OFF_BITS
+              + offset).astype(jnp.int32)
 
-  y2d = _shift_matmul(x2d, w9, cols, rows, deltas, m_pad, block, bm,
-                      interpret)
+    y2d = _shift_matmul(x2d, w9, cols, rows, deltas, m_pad, block, bm,
+                        interpret)
   y = y2d[:m].reshape(hp, wp, n, cout)[ph:ph + h, pw:pw + w_dim]
   return jnp.transpose(y, (2, 0, 1, 3))
+
+
+# ------------------------------------------------------------- v5 engine --
+def _tapcol_pack(cols, rows, taps, t_dim, nn):
+  """Flat dummy/sentinel packing -> per-(tap, cout-column) CSR for v5.
+
+  Entries sorted by cell = tap * nn + col; dummy/sentinel entries
+  (tap < 0) sort to the end and are dropped (n_active = len - nn - 1,
+  static).  Returns (starts, ks): starts (t_dim*nn + 1,) row offsets into
+  ks (n_active,) cin-block indices.
+  """
+  n_active = cols.shape[0] - 1 - nn
+  key = jnp.where(taps >= 0, taps * nn + cols, t_dim * nn)
+  order = jnp.argsort(key, stable=True)
+  ks = rows[order][:n_active].astype(jnp.int32)
+  starts = jnp.searchsorted(
+      key[order][:n_active], jnp.arange(t_dim * nn + 1),
+      side='left').astype(jnp.int32)
+  if n_active == 0:
+    # Zero-length refs can't be indexed even in never-executed loop bodies;
+    # one padding element (starts are all 0, so no trip reads it).
+    ks = jnp.zeros((1,), jnp.int32)
+  return starts, ks
+
+
+def _conv_kernel_v5(starts_ref, ks_ref, x_hbm, w_ref, o_ref, acc_ref,
+                    x_buf, sems, *, bk, bn, bm, nk, nn, tap_offs,
+                    base_off, panel_rows):
+  """One grid step per output row tile; the haloed x panel is VMEM-resident
+  across the whole (tap, cout-column) sweep.
+
+  vs the flat-entry engine (_conv_kernel): grid steps drop from
+  n_tiles * n_entries to n_tiles — per-step fixed costs (pipeline flush,
+  output handling) amortize over the entire sweep, and x is DMA'd once per
+  tile (one big haloed panel) instead of once per active entry.  The
+  (tap, column) loops are STATIC (python-unrolled), so every sublane
+  offset is compile-time constant — only lane offsets (cin-block k) and
+  leading indices are traced, which Mosaic supports (the v3 kernel's
+  x_ref[:, pl.ds(k, bk)] pattern).  Per-cell entry ranges come from the
+  CSR starts vector; empty cells cost one scalar compare.
+  """
+  i = pl.program_id(0)
+  ni = pl.num_programs(0)
+
+  def panel_copy(ti, slot):
+    start = pl.multiple_of(ti * bm + base_off, _ALIGN)
+    return pltpu.make_async_copy(
+        x_hbm.at[pl.ds(start, panel_rows), :], x_buf.at[slot],
+        sems.at[slot])
+
+  @pl.when(i == 0)
+  def _():
+    panel_copy(0, 0).start()
+
+  slot = jax.lax.rem(i, 2)
+
+  @pl.when(i + 1 < ni)
+  def _():
+    panel_copy(i + 1, 1 - slot).start()
+
+  panel_copy(i, slot).wait()
+  acc_ref[:] = jnp.zeros_like(acc_ref)
+  for t, xoff in enumerate(tap_offs):
+    for j in range(nn):
+      cell = t * nn + j
+
+      def body(s, carry, xoff=xoff, j=j):
+        k = ks_ref[s]
+        xt = x_buf[slot, xoff:xoff + bm, pl.ds(k * bk, bk)]
+        wt = w_ref[t * nk + k, :, j * bn:(j + 1) * bn]
+        acc_ref[:, j * bn:(j + 1) * bn] += jnp.dot(
+            xt, wt, preferred_element_type=jnp.float32)
+        return carry
+
+      jax.lax.fori_loop(starts_ref[cell], starts_ref[cell + 1], body, 0)
+  o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _shift_matmul_v5(x2d_staged, w9, starts, ks, m_pad, block, bm,
+                     interpret, *, n_batch, kh, kw, wp, t_off):
+  """v5 core call on the same staged buffer _conv_impl builds.
+
+  The staging invariants carry over unchanged: zeros above row t_off cover
+  the most-negative tap shift, the tail covers halo + m_pad - m, so the
+  haloed panel [i*bm + t_off - halo, + bm + 2*halo) is always in bounds
+  and every out-of-image read lands on zeros.
+  """
+  t_dim, cin, cout = w9.shape
+  bk, bn = block
+  nk, nn = cin // bk, cout // bn
+  ph, pw = kh // 2, kw // 2
+  halo = (ph * wp + pw) * n_batch
+  base_off = t_off - halo
+  panel_rows = bm + 2 * halo
+  tap_offs = tuple(
+      ((t // kw - ph) * wp + (t % kw - pw)) * n_batch + halo
+      for t in range(t_dim))
+  kernel = functools.partial(
+      _conv_kernel_v5, bk=bk, bn=bn, bm=bm, nk=nk, nn=nn,
+      tap_offs=tap_offs, base_off=base_off, panel_rows=panel_rows)
+  return pl.pallas_call(
+      kernel,
+      grid_spec=pltpu.PrefetchScalarGridSpec(
+          num_scalar_prefetch=2,
+          grid=(m_pad // bm,),
+          in_specs=[
+              pl.BlockSpec(memory_space=pl.ANY),   # x stays in HBM
+              # All tap weights VMEM-resident: (T*nk, bk, cout), constant
+              # across the grid so Pallas fetches them once.
+              pl.BlockSpec((t_dim * nk, bk, cout),
+                           lambda i, s, k: (0, 0, 0)),
+          ],
+          out_specs=pl.BlockSpec((bm, cout), lambda i, s, k: (i, 0)),
+          scratch_shapes=[
+              pltpu.VMEM((bm, cout), jnp.float32),
+              pltpu.VMEM((2, panel_rows, cin), x2d_staged.dtype),
+              pltpu.SemaphoreType.DMA((2,)),
+          ],
+      ),
+      out_shape=jax.ShapeDtypeStruct((m_pad, cout), x2d_staged.dtype),
+      interpret=interpret,
+  )(starts, ks, x2d_staged, w9.reshape(t_dim * nk, bk, cout))
+
+
+def default_tap_engine() -> str:
+  """'flat' (grid over (row tile, active entry)) or 'v5' (grid over row
+  tiles, VMEM-resident haloed panel, static tap/column sweep).
+  Env RIGL_TAP_ENGINE."""
+  import os
+  return os.environ.get('RIGL_TAP_ENGINE', 'flat')
 
 
 def _dw_kernel(cols_ref, rows_ref, deltas_ref, x_hbm, g_hbm, o_ref,

@@ -561,10 +561,23 @@ class Trainer:
               'premask invariant violated: params have nonzero values at '
               'mask-inactive positions (params != params * masks)')
 
+    # XLA's CPU in-process collectives deadlock intermittently when many
+    # async-dispatched executions are in flight on an oversubscribed host:
+    # each execution's all-reduce parks one worker thread per virtual
+    # device at a rendezvous, the pool runs out, and the missing
+    # participant aborts the process after the 40 s watchdog
+    # ("Expected 8 threads to join ... only 7 arrived", rendezvous.cc).
+    # On the virtual multi-device CPU platform (tests / dryruns) serialize
+    # dispatch; real TPU keeps the async pipeline.
+    serialize_dispatch = (jax.default_backend() == 'cpu'
+                          and len(jax.devices()) > 1)
+
     t0 = time.time()
     last_log_t, last_log_i = t0, 0
     profiling = False
     for i in range(n_batches):
+      if serialize_dispatch:
+        jax.block_until_ready(state.params)
       if cfg.profile_dir:
         if i == cfg.profile_start:
           jax.profiler.start_trace(cfg.profile_dir)

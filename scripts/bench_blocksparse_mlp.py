@@ -22,12 +22,12 @@ import optax
 from rigl_tpu.layers import BlockSparseDense
 from rigl_tpu.ops.block_mask import random_block_mask
 
-WIDTH = 4096
-DEPTH = 3
-BATCH = 1024
-ITERS = 30
+WIDTH = int(os.environ.get('MLP_WIDTH', 4096))
+DEPTH = int(os.environ.get('MLP_DEPTH', 3))
+BATCH = int(os.environ.get('MLP_BATCH', 1024))
+ITERS = int(os.environ.get('MLP_ITERS', 100))
 BLOCK = (512, 512)
-SPARSITY = 0.8
+SPARSITY = float(os.environ.get('MLP_SPARSITY', 0.8))
 
 
 class DenseMLP(nn.Module):
