@@ -411,3 +411,70 @@ def test_tap_dw_gather_matches_dense(kshape):
       occ3.astype(jnp.float32), kshape, block)
   np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref), rtol=1e-4,
                              atol=1e-4)
+
+
+# --------------------------------------------------- v5 tap engine parity --
+@pytest.mark.parametrize('kshape', [(1, 1, 8, 16), (3, 3, 8, 16),
+                                    (5, 5, 8, 16)])
+def test_tap_v5_engine_matches_dense_fwd_and_grads(kshape, monkeypatch):
+  """RIGL_TAP_ENGINE=v5 (VMEM-panel engine): forward and both gradients
+  match dense-times-mask, including the T=1 (1x1) fast path."""
+  import jax
+  from rigl_tpu.ops.pallas import block_sparse_conv as tap_lib
+  monkeypatch.setenv('RIGL_TAP_ENGINE', 'v5')
+  assert tap_lib.default_tap_engine() == 'v5'
+  key = jax.random.key(7)
+  block = (8, 8)
+  kh, kw, cin, cout = kshape
+  x = jax.random.normal(jax.random.fold_in(key, 1), (2, 7, 5, cin))
+  w = jax.random.normal(jax.random.fold_in(key, 2), kshape)
+  mask = bm_lib.random_tap_block_mask(jax.random.fold_in(key, 3), kshape,
+                                      0.4, block)
+  occ3 = (bm_lib.pool_to_tap_blocks(mask, block, 'max') > 0).astype(jnp.int32)
+  packing = dict(zip(('cols', 'rows', 'taps'),
+                     tap_lib.pack_tap_active(occ3, int(occ3.sum()))))
+
+  def f(x, w):
+    y = tap_lib.block_sparse_conv_tap(x, w, packing, block, bm=16,
+                                      interpret=True)
+    return jnp.sum(y ** 2), y
+
+  (_, y), (dx, dw) = jax.value_and_grad(f, argnums=(0, 1), has_aux=True)(x, w)
+
+  def f_ref(x, w):
+    y = jax.lax.conv_general_dilated(
+        x, w * mask, (1, 1), 'SAME',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    return jnp.sum(y ** 2), y
+
+  (_, y_ref), (dx_ref, dw_ref) = jax.value_and_grad(
+      f_ref, argnums=(0, 1), has_aux=True)(x, w)
+  np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=1e-4,
+                             atol=1e-4)
+  np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref), rtol=1e-4,
+                             atol=1e-4)
+  np.testing.assert_allclose(np.asarray(dw),
+                             np.asarray(dw_ref * mask), rtol=1e-4, atol=1e-4)
+
+
+def test_tapcol_pack_csr_structure():
+  """The v5 CSR packing: entries sorted by (tap, column), starts index the
+  per-cell runs, dummies/sentinel dropped."""
+  import jax
+  from rigl_tpu.ops.pallas.block_sparse_conv import (_tapcol_pack,
+                                                     pack_tap_active)
+  occ = (jax.random.uniform(jax.random.key(0), (9, 4, 3)) < 0.3
+         ).astype(jnp.int32)
+  n = int(occ.sum())
+  cols, rows, taps = pack_tap_active(occ, n)
+  starts, ks = _tapcol_pack(cols, rows, taps, 9, 3)
+  starts, ks = np.asarray(starts), np.asarray(ks)
+  assert starts.shape == (9 * 3 + 1,) and starts[-1] == n
+  assert (np.diff(starts) >= 0).all()
+  occ_np = np.asarray(occ)
+  for t in range(9):
+    for j in range(3):
+      cell = t * 3 + j
+      got = sorted(ks[starts[cell]:starts[cell + 1]].tolist())
+      want = sorted(np.nonzero(occ_np[t, :, j])[0].tolist())
+      assert got == want, (t, j, got, want)
