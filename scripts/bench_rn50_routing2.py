@@ -104,11 +104,26 @@ def run_1x1(name, hw, cin, cout, density, results):
   def block_impl(x, w):
     return bs_conv.block_sparse_conv1x1(x, w, occ, block=blk, bm=BM)
 
+  # Third arm: the tap kernel's T=1 fast path (this is what in-model 1x1
+  # routing actually executes; RIGL_TAP_ENGINE selects flat vs v5).
+  from rigl_tpu.ops.pallas.block_sparse_conv import (block_sparse_conv_tap,
+                                                     pack_tap_active)
+  n_act = int(np.asarray(occ).sum())
+  cols, rows, taps = pack_tap_active(occ[None], n_act)
+  packing = {'cols': jax.device_put(cols), 'rows': jax.device_put(rows),
+             'taps': jax.device_put(taps)}
+
+  def tap_impl(x, w):
+    return block_sparse_conv_tap(x, w[None, None], packing, block=blk)
+
   t_d = _scan_time(make_body(dense_impl, w), (x0, acc0), LENGTH)
   t_b = _scan_time(make_body(block_impl, w), (x0, acc0), LENGTH)
+  t_t = _scan_time(make_body(tap_impl, w), (x0, acc0), LENGTH)
   results[name] = {'dense_us': round(t_d * 1e6, 1),
                    'block_us': round(t_b * 1e6, 1),
-                   'speedup': round(t_d / t_b, 3), 'density': density}
+                   'tap1x1_us': round(t_t * 1e6, 1),
+                   'speedup': round(t_d / t_b, 3),
+                   'tap_speedup': round(t_d / t_t, 3), 'density': density}
   print(name, results[name])
 
 
