@@ -50,35 +50,38 @@ class BlockSparseMLP(nn.Module):
     return x
 
 
-def bench(run, x, label):
-  c = run(x)
+def bench(run, x, label, *extra):
+  c = run(x, *extra)
   _ = float(jnp.sum(jnp.isnan(c).astype(jnp.float32)))
   t = time.perf_counter()
-  c = run(x)
+  c = run(x, *extra)
   _ = float(jnp.sum(jnp.isnan(c).astype(jnp.float32)))
   dt = (time.perf_counter() - t) / ITERS
   print(f'{label}: {dt * 1e6:.1f} us/step')
   return dt
 
 
-def make_train_scan(model, variables, masks=None):
+def make_train_scan(model, variables, with_masks=False):
+  # Masks are a traced ARGUMENT, not a closure constant: 3x4096x4096 f32
+  # constants embedded in the program blew the tunnel's compile-request
+  # size limit (HTTP 413).
   tx = optax.sgd(1e-4, momentum=0.9)
   params = variables['params']
   opt_state = tx.init(params)
-  target = jnp.zeros((BATCH, WIDTH), jnp.bfloat16)
 
-  def loss_fn(params, x):
+  def loss_fn(params, masks, x):
     v = {'params': params}
-    if masks is not None:
+    if with_masks:
       v['masks'] = masks
     out = model.apply(v, x)
+    target = jnp.zeros_like(out)
     return jnp.mean((out - target).astype(jnp.float32) ** 2)
 
   @jax.jit
-  def run(x):
+  def run(x, masks=None):
     def body(carry, _):
       params, opt_state = carry
-      g = jax.grad(loss_fn)(params, x)
+      g = jax.grad(loss_fn)(params, masks, x)
       updates, opt_state = tx.update(g, opt_state, params)
       params = optax.apply_updates(params, updates)
       return (params, opt_state), ()
@@ -108,11 +111,11 @@ def main():
 
   sparse = BlockSparseMLP()
   sv = sparse.init(jax.random.key(0), x)
-  masks = {f'd{i}': {'kernel': random_block_mask(
+  masks = jax.device_put({f'd{i}': {'kernel': random_block_mask(
       jax.random.fold_in(jax.random.key(1), i), (WIDTH, WIDTH), SPARSITY,
-      BLOCK)} for i in range(DEPTH)}
-  t_sparse = bench(make_train_scan(sparse, sv, masks), x,
-                   f'block-sparse train step (s={SPARSITY})')
+      BLOCK)} for i in range(DEPTH)})
+  t_sparse = bench(make_train_scan(sparse, sv, with_masks=True), x,
+                   f'block-sparse train step (s={SPARSITY})', masks)
 
   net_d = t_dense - floor
   net_s = t_sparse - floor
