@@ -249,7 +249,8 @@ def _conv_impl(x, w4d, packing, block, bm, interpret):
       x2d = jnp.pad(x2d, [(0, m_pad - m), (0, 0)])
     cols, rows, taps = packing['cols'], packing['rows'], packing['taps']
     w1 = w4d.reshape(1, cin, cout)
-    if default_tap_engine() == 'v5':
+    if (default_tap_engine() == 'v5'
+        and v5_feasible(1, cin, cout, 0, jnp.dtype(x.dtype).itemsize)):
       starts, ks = _tapcol_pack(cols, rows, taps, 1, cout // bn)
       y2d = _shift_matmul_v5(x2d, w1, starts, ks, m_pad, block, bm,
                              interpret, n_batch=n, kh=1, kw=1, wp=1,
@@ -287,7 +288,9 @@ def _conv_impl(x, w4d, packing, block, bm, interpret):
   staged = staged.at[top_img + ph:top_img + ph + h, pw:pw + w_dim].set(xt)
   x2d = staged.reshape(-1, cin)
   w9 = w4d.reshape(kh * kw, cin, cout)
-  if default_tap_engine() == 'v5':
+  if (default_tap_engine() == 'v5'
+      and v5_feasible(kh * kw, cin, cout, halo,
+                      jnp.dtype(x.dtype).itemsize)):
     starts, ks = _tapcol_pack(cols, rows, taps, kh * kw, cout // bn)
     y2d = _shift_matmul_v5(x2d, w9, starts, ks, m_pad, block, bm,
                            interpret, n_batch=n, kh=kh, kw=kw, wp=wp,
@@ -308,6 +311,25 @@ def _conv_impl(x, w4d, packing, block, bm, interpret):
 
 
 # ------------------------------------------------------------- v5 engine --
+_V5_VMEM_BUDGET = 14 * 1024 * 1024
+
+
+def _v5_vmem_bytes(bm, halo, t_dim, cin, cout, itemsize):
+  """Scoped-VMEM footprint of one v5 grid step (see _shift_matmul_v5)."""
+  return (2 * (bm + 2 * halo) * cin * itemsize   # double-buffered x panel
+          + bm * cout * 4                        # f32 accumulator
+          + t_dim * cin * cout * itemsize        # resident tap weights
+          + 2 * bm * cout * itemsize)            # pipelined output tile
+
+
+def v5_feasible(t_dim, cin, cout, halo, itemsize=2) -> bool:
+  """Whether the v5 engine can fit this layer at its minimum tile (the
+  resident-weight design caps t_dim*cin*cout; callers fall back to the
+  flat engine otherwise)."""
+  return _v5_vmem_bytes(256, halo, t_dim, cin, cout,
+                        itemsize) <= _V5_VMEM_BUDGET
+
+
 def _tapcol_pack(cols, rows, taps, t_dim, nn):
   """Flat dummy/sentinel packing -> per-(tap, cout-column) CSR for v5.
 
@@ -397,6 +419,17 @@ def _shift_matmul_v5(x2d_staged, w9, starts, ks, m_pad, block, bm,
   nk, nn = cin // bk, cout // bn
   ph, pw = kh // 2, kw // 2
   halo = (ph * wp + pw) * n_batch
+  # VMEM-budget clamp: the double-buffered haloed panel + f32 accumulator +
+  # resident tap weights + pipelined output tile must fit the ~16 MB scoped
+  # vmem limit; at the default bm=2048, wide layers (7x7, 512ch, batch-128
+  # halo) allocate ~20 MB and fail to compile in-model.  Halving preserves
+  # correctness: m_pad is a multiple of the caller's bm, so any bm/2^k
+  # still divides it.  (The measured g3/g4 wins were at bm=512 — panel
+  # amortization, not tile size, is what v5 buys.)
+  itemsize = jnp.dtype(x2d_staged.dtype).itemsize
+  while bm > 256 and _v5_vmem_bytes(bm, halo, t_dim, cin, cout,
+                                    itemsize) > _V5_VMEM_BUDGET:
+    bm //= 2
   base_off = t_off - halo
   panel_rows = bm + 2 * halo
   tap_offs = tuple(

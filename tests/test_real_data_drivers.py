@@ -129,3 +129,25 @@ def test_imagenet_driver_on_tfrecords(tmp_path):
   result = t.train()
   assert np.isfinite(result['eval_loss'])
   assert result['global_sparsity'] == pytest.approx(0.8, abs=0.05)
+
+
+@pytest.mark.slow
+def test_digits_real_data_accuracy(tmp_path):
+  """REAL data on-box: sklearn's bundled scanned-digit images through the
+  idx pipeline reach high test accuracy at 98% sparsity (the env-feasible
+  form of the reference's accuracy evidence; scripts/digits_accuracy.py
+  runs the full table)."""
+  pytest.importorskip('sklearn')
+  import scripts.digits_accuracy as da
+  n_train, n_test = da.digits_as_mnist(str(tmp_path))
+  assert (n_train, n_test) == (1437, 360)
+  cfg = TrainConfig(
+      model='mnist_mlp', dataset='mnist', data_dir=str(tmp_path),
+      training_method='rigl', sparsity=0.98,
+      train_steps=300, batch_size=100,
+      base_learning_rate=0.2, lr_schedule='mnist', momentum=0.9,
+      maskupdate_begin_step=0, maskupdate_end_step=200,
+      maskupdate_frequency=100, drop_fraction=0.3, log_every=0, seed=0)
+  result = Trainer(cfg).train()
+  assert result['eval_top_1'] > 0.9
+  assert result['global_sparsity'] > 0.9
