@@ -37,6 +37,8 @@ from rigl_tpu.ops.pallas.block_sparse_v3 import (block_sparse_matmul_v3,
                                                  pallas_dense_matmul)
 from rigl_tpu.ops.pallas.block_sparse_v4 import (block_sparse_matmul_v4,
                                                  pack_flat_active)
+from rigl_tpu.ops.pallas.block_sparse_v6 import (block_sparse_matmul_v6,
+                                                 make_packing)
 
 M = int(os.environ.get('ARMS_M', 1024))
 K = int(os.environ.get('ARMS_K', 4096))
@@ -111,6 +113,22 @@ def main():
       report(f'v4@{tag}', scan_time(
           lambda c: block_sparse_matmul_v4(c, wm, cols, rows, BLOCK, 512),
           x))
+    if want('v6@'):
+      n_active = int(np.asarray(occ).sum())
+      packing = jax.device_put(make_packing(occ, n_active))
+      report(f'v6@{tag}', scan_time(
+          lambda c: block_sparse_matmul_v6(c, wm, packing, BLOCK, 512), x))
+    if want('v6grad'):
+      n_active = int(np.asarray(occ).sum())
+      packing = jax.device_put(make_packing(occ, n_active))
+
+      def fwd_bwd(c):
+        y, vjp = jax.vjp(
+            lambda cc, ww: block_sparse_matmul_v6(cc, ww, packing, BLOCK,
+                                                  512), c, wm)
+        dx, dw = vjp(y)
+        return dx + 1e-12 * dw[: , :1].T  # keep both grads live
+      report(f'v6grad@{tag}', scan_time(fwd_bwd, x))
 
   print(json.dumps(results))
 

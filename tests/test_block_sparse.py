@@ -478,3 +478,47 @@ def test_tapcol_pack_csr_structure():
       got = sorted(ks[starts[cell]:starts[cell + 1]].tolist())
       want = sorted(np.nonzero(occ_np[t, :, j])[0].tolist())
       assert got == want, (t, j, got, want)
+
+
+# ------------------------------------------------------------------- v6 --
+@pytest.mark.parametrize('sparsity', [0.0, 0.5, 0.9])
+def test_v6_matmul_forward_and_grads(sparsity):
+  """v6 (auto-pipelined entry grid) matches dense-times-mask exactly,
+  including an empty output column served by its dummy entry."""
+  from rigl_tpu.ops.block_mask import expand_from_blocks, random_block_mask
+  from rigl_tpu.ops.pallas.block_sparse_v6 import (block_sparse_matmul_v6,
+                                                   make_packing)
+  M, K, N, blk = 256, 512, 768, (128, 128)
+  rs = np.random.RandomState(0)
+  x = jnp.asarray(rs.randn(M, K), jnp.float32)
+  w = jnp.asarray(rs.randn(K, N) * 0.1, jnp.float32)
+  bmask = random_block_mask(jax.random.key(1), (K, N), sparsity, blk)
+  occ = (bm_lib.pool_to_blocks(bmask, blk, 'max') > 0).astype(jnp.int32)
+  occ = occ.at[:, 2].set(0)                     # force an empty column
+  n_active = int(np.asarray(occ).sum())
+  mask = expand_from_blocks(occ, (K, N), blk)
+  wm = w * mask
+  packing = make_packing(occ, n_active)
+
+  y = block_sparse_matmul_v6(x, wm, packing, blk, 128)
+  np.testing.assert_allclose(np.asarray(y), np.asarray(x @ wm), atol=2e-4)
+
+  def loss(x, w):
+    return jnp.sum(jnp.sin(block_sparse_matmul_v6(x, w, packing, blk, 128)))
+
+  gx, gw = jax.grad(loss, (0, 1))(x, wm)
+  gxr, gwr = jax.grad(
+      lambda x, w: jnp.sum(jnp.sin(x @ (w * mask))), (0, 1))(x, wm)
+  np.testing.assert_allclose(np.asarray(gx), np.asarray(gxr), atol=2e-4)
+  np.testing.assert_allclose(np.asarray(gw), np.asarray(gwr), atol=2e-4)
+
+
+def test_v6_packing_static_shape_across_mask_updates():
+  """Entry count n_active + nn is invariant to WHICH blocks are active —
+  the jit cache survives drop/grow mask evolution."""
+  from rigl_tpu.ops.pallas.block_sparse_v6 import pack_columns
+  occ1 = jnp.asarray([[1, 0, 0], [0, 0, 1]], jnp.int32)
+  occ2 = jnp.asarray([[0, 1, 0], [1, 0, 0]], jnp.int32)  # same count
+  p1, p2 = pack_columns(occ1, 2), pack_columns(occ2, 2)
+  assert p1[0].shape == p2[0].shape == (5,)
+  assert int(p1[2].sum()) == int(p2[2].sum()) == 2
