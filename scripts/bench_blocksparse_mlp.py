@@ -21,6 +21,8 @@ import optax
 
 from rigl_tpu.layers import BlockSparseDense
 from rigl_tpu.ops.block_mask import random_block_mask
+from rigl_tpu.ops.pallas.block_sparse_v6 import (block_sparse_matmul_v6,
+                                                 make_packing)
 
 WIDTH = int(os.environ.get('MLP_WIDTH', 4096))
 DEPTH = int(os.environ.get('MLP_DEPTH', 3))
@@ -28,6 +30,10 @@ BATCH = int(os.environ.get('MLP_BATCH', 1024))
 ITERS = int(os.environ.get('MLP_ITERS', 100))
 BLOCK = (512, 512)
 SPARSITY = float(os.environ.get('MLP_SPARSITY', 0.8))
+# 'v6' (auto-pipelined entry grid, premasked weights, packing built once —
+# mirrors the trainer's premask_params + static-count invariants) or
+# 'layer' (BlockSparseDense module path: v3 kernel, per-step mask multiply).
+ENGINE = os.environ.get('MLP_ENGINE', 'v6')
 
 
 class DenseMLP(nn.Module):
@@ -48,6 +54,33 @@ class BlockSparseMLP(nn.Module):
                            dtype=jnp.bfloat16, name=f'd{i}')(x)
       x = nn.relu(x)
     return x
+
+
+def make_v6_train_scan(params, packings):
+  """Train scan on the v6 path: weights stored premasked, dw masked by the
+  kernel's vjp, so momentum stays zero at inactive blocks — the premask
+  invariant holds with no per-step mask multiply anywhere."""
+  tx = optax.sgd(1e-4, momentum=0.9)
+  opt_state = tx.init(params)
+
+  def loss_fn(params, x):
+    for i in range(DEPTH):
+      x = block_sparse_matmul_v6(x, params[f'd{i}'], packings[i], BLOCK, 512)
+      x = nn.relu(x)
+    return jnp.mean(x.astype(jnp.float32) ** 2)
+
+  @jax.jit
+  def run(x, params, opt_state):
+    def body(carry, _):
+      params, opt_state = carry
+      g = jax.grad(loss_fn)(params, x)
+      updates, opt_state = tx.update(g, opt_state, params)
+      params = optax.apply_updates(params, updates)
+      return (params, opt_state), ()
+    (p2, _), _ = jax.lax.scan(body, (params, opt_state), None, length=ITERS)
+    return p2[f'd{DEPTH - 1}']
+
+  return run, params, opt_state
 
 
 def bench(run, x, label, *extra):
@@ -109,13 +142,31 @@ def main():
   dv = dense.init(jax.random.key(0), x)
   t_dense = bench(make_train_scan(dense, dv), x, 'dense train step')
 
-  sparse = BlockSparseMLP()
-  sv = sparse.init(jax.random.key(0), x)
-  masks = jax.device_put({f'd{i}': {'kernel': random_block_mask(
-      jax.random.fold_in(jax.random.key(1), i), (WIDTH, WIDTH), SPARSITY,
-      BLOCK)} for i in range(DEPTH)})
-  t_sparse = bench(make_train_scan(sparse, sv, with_masks=True), x,
-                   f'block-sparse train step (s={SPARSITY})', masks)
+  if ENGINE == 'v6':
+    masks = {i: random_block_mask(
+        jax.random.fold_in(jax.random.key(1), i), (WIDTH, WIDTH), SPARSITY,
+        BLOCK) for i in range(DEPTH)}
+    nb = (WIDTH // BLOCK[0], WIDTH // BLOCK[1])
+    packings = []
+    params = {}
+    for i in range(DEPTH):
+      occ = (masks[i].reshape(nb[0], BLOCK[0], nb[1], BLOCK[1])
+             .max(axis=(1, 3)) > 0).astype(jnp.int32)
+      packings.append(jax.device_put(
+          make_packing(occ, int(np.asarray(occ).sum()))))
+      params[f'd{i}'] = jax.device_put(
+          (dv['params'][f'd{i}']['kernel'] * masks[i]).astype(jnp.bfloat16))
+    run, params, opt_state = make_v6_train_scan(params, packings)
+    t_sparse = bench(run, x, f'block-sparse v6 train step (s={SPARSITY})',
+                     params, opt_state)
+  else:
+    sparse = BlockSparseMLP()
+    sv = sparse.init(jax.random.key(0), x)
+    masks = jax.device_put({f'd{i}': {'kernel': random_block_mask(
+        jax.random.fold_in(jax.random.key(1), i), (WIDTH, WIDTH), SPARSITY,
+        BLOCK)} for i in range(DEPTH)})
+    t_sparse = bench(make_train_scan(sparse, sv, with_masks=True), x,
+                     f'block-sparse train step (s={SPARSITY})', masks)
 
   net_d = t_dense - floor
   net_s = t_sparse - floor
