@@ -145,11 +145,16 @@ MASK_GENERATORS = {
 
 def generate_mask(mask_type: str, key: jax.Array, shapes: ShapeDict,
                   sparsity: float, dtype=jnp.float32) -> MaskDict:
-  """Registry dispatch (parity with pruning/mask_factory.py:35-68)."""
+  """Registry dispatch (parity with pruning/mask_factory.py:35-68).
+  'nm_<n>_<m>' dispatches to N:M structured masks (structured.py)."""
+  from rigl_tpu.sparsity import structured
+  nm = structured.parse_n_m(mask_type)
+  if nm is not None:
+    return structured.make_n_m_generator(*nm)(key, shapes, sparsity, dtype)
   if mask_type not in MASK_GENERATORS:
     raise ValueError(
         f'Unknown mask type {mask_type!r}; available: '
-        f'{sorted(MASK_GENERATORS)}')
+        f"{sorted(MASK_GENERATORS)} + 'nm_<n>_<m>'")
   return MASK_GENERATORS[mask_type](key, shapes, sparsity, dtype)
 
 
