@@ -1,0 +1,299 @@
+"""Packed block-sparse tensors: weights, gradients, and optimizer state in
+O(density) memory, with fully auto-pipelined matmul kernels.
+
+The reference stores dense latent weights and multiplies masks in
+(sparse_optimizers_base.py) — size savings appear only at export.  Here the
+TPU-native representation IS sparse: a weight matrix lives as its active
+blocks `(n_active, bk, bn)` plus a static packing (column-major coords +
+per-entry packed-slot indices).  Consequences:
+
+  * fwd / dx fetch exactly the active blocks (Mosaic auto-pipelines them
+    through scalar-prefetch BlockSpec index maps — same structure as v6);
+  * dw is computed PACKED (one grid entry per active block, no dense pass,
+    no masking multiply) — gradient traffic scales with density;
+  * the optimizer updates the packed array directly, so momentum/Adam
+    slots cost density * dense, and the premask invariant holds by
+    construction (inactive weights do not exist).
+
+Drop/grow updates change WHICH blocks are active but not the count, so all
+shapes are static across mask updates; repacking is a gather on the packed
+axis (repack_permutation).
+
+n_entries = n_active + nn (one dummy per output column, as v6) for fwd/bwd
+matmuls; dw's grid runs over the n_active real blocks only.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+# ----------------------------------------------------------- packing ------
+@jax.tree_util.register_pytree_node_class
+class Packing:
+  """fwd/bwd entry lists + the STATIC occupancy-grid shape (aux data, so
+  jit/device_put never trace it)."""
+
+  def __init__(self, fwd, bwd, shape):
+    self.fwd = fwd
+    self.bwd = bwd
+    self.shape = tuple(shape)
+
+  def __getitem__(self, key):          # dict-style access
+    return {'fwd': self.fwd, 'bwd': self.bwd, 'shape': self.shape}[key]
+
+  def tree_flatten(self):
+    return (self.fwd, self.bwd), self.shape
+
+  @classmethod
+  def tree_unflatten(cls, shape, children):
+    return cls(children[0], children[1], shape)
+
+
+def pack_columns_slots(block_mask: jnp.ndarray, n_active: int):
+  """(nk, nn) occupancy -> (cols, rows, slots, valid), each (n_active+nn,).
+
+  Column-major actives (one dummy per column at the end of its run, as
+  v6), plus `slots`: the packed-axis index of each entry's block.  The
+  PACKED LAYOUT is defined as this column-major active order, so for the
+  fwd packing slots == cumsum(valid) - 1; the bwd (transposed) packing
+  maps its entries into the SAME layout via a permutation argsort.
+  """
+  nk, nn = block_mask.shape
+  occ = block_mask.astype(jnp.int32)
+  n_entries = n_active + nn
+  key_real = (jax.lax.broadcasted_iota(jnp.int32, (nk, nn), 1) * (nk + 1)
+              + jax.lax.broadcasted_iota(jnp.int32, (nk, nn), 0))
+  key_real = jnp.where(occ > 0, key_real, (nn + 1) * (nk + 1)).T.reshape(-1)
+  key_dummy = jnp.arange(nn, dtype=jnp.int32) * (nk + 1) + nk
+  keys = jnp.concatenate([key_real, key_dummy])
+  order = jnp.argsort(keys, stable=True)[:n_entries]
+  keys = keys[order]
+  cols = (keys // (nk + 1)).astype(jnp.int32)
+  raw_rows = keys % (nk + 1)
+  valid = (raw_rows != nk).astype(jnp.int32)
+  rows = jnp.where(valid == 1, raw_rows, 0).astype(jnp.int32)
+  slots = jnp.maximum(jnp.cumsum(valid) - 1, 0).astype(jnp.int32)
+  return cols, rows, slots, valid
+
+
+def make_packing(block_mask: jnp.ndarray, n_active: int):
+  """fwd + bwd packings sharing ONE packed layout (fwd column-major).
+
+  bwd slots point into the fwd layout: entry for block (k, j) in the
+  transposed walk gets the slot that block holds in the fwd packing.
+  """
+  nk, nn = block_mask.shape
+  fc, fr, fs, fv = pack_columns_slots(block_mask, n_active)
+  bc, br, bs_local, bv = pack_columns_slots(block_mask.T, n_active)
+  # Map fwd slots onto the dense grid, then read out at the bwd walk's
+  # (row=bc? col?) coordinates: bwd entry visits block (k=bc[s], j=br[s]).
+  grid = jnp.zeros((nk, nn), jnp.int32).at[fr, fc].max(
+      jnp.where(fv == 1, fs, 0))
+  bslots = jnp.where(bv == 1, grid[bc, br], 0).astype(jnp.int32)
+  return Packing((fc, fr, fs, fv), (bc, br, bslots, bv), (nk, nn))
+
+
+def pack_dense(w: jnp.ndarray, packing, block: Tuple[int, int]):
+  """Dense (K, N) -> packed (n_active, bk, bn) in the fwd layout."""
+  bk, bn = block
+  nk, nn = packing['shape']
+  cols, rows, slots, valid = packing['fwd']
+  blocks = w.reshape(nk, bk, nn, bn).transpose(0, 2, 1, 3)   # (nk, nn, bk, bn)
+  picked = blocks[rows, cols]                                # (n_entries, ...)
+  n_act = picked.shape[0] - nn
+  out = jnp.zeros((n_act, bk, bn), w.dtype)
+  out = out.at[slots].add(jnp.where((valid == 1)[:, None, None], picked, 0))
+  return out
+
+
+def unpack_dense(packed: jnp.ndarray, packing, block: Tuple[int, int],
+                 dtype=None):
+  """Packed (n_active, bk, bn) -> dense (K, N) with zeros at inactive."""
+  bk, bn = block
+  nk, nn = packing['shape']
+  cols, rows, slots, valid = packing['fwd']
+  blocks = jnp.zeros((nk, nn, bk, bn), dtype or packed.dtype)
+  vals = jnp.where((valid == 1)[:, None, None], packed[slots], 0)
+  blocks = blocks.at[rows, cols].add(vals)
+  return blocks.transpose(0, 2, 1, 3).reshape(nk * bk, nn * bn)
+
+
+def repack_permutation(old_packing, new_packing):
+  """Gather indices g with new_data = old_data[g] for surviving blocks;
+  entries new in the mask get index -1 (caller fills grow-init values)."""
+  nk, nn = old_packing['shape']
+  oc, orow, oslot, ov = old_packing['fwd']
+  grid = jnp.full((nk, nn), -1, jnp.int32).at[orow, oc].max(
+      jnp.where(ov == 1, oslot, -1))
+  ncols, nrows, nslots, nv = new_packing['fwd']
+  n_act = int(nrows.shape[0]) - nn
+  perm = jnp.full((n_act,), -1, jnp.int32)
+  src = jnp.where(nv == 1, grid[nrows, ncols], -1)
+  return perm.at[nslots].max(jnp.where(nv == 1, src, -1))
+
+
+# ----------------------------------------------------------- kernels ------
+def _mm_kernel(cols_ref, rows_ref, slots_ref, valid_ref, x_ref, w_ref,
+               o_ref, acc_ref, *, bk, transpose_w):
+  s = pl.program_id(1)
+  ns = pl.num_programs(1)
+  first = jnp.logical_or(
+      s == 0, cols_ref[s] != cols_ref[jnp.maximum(s - 1, 0)])
+
+  @pl.when(first)
+  def _():
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+  @pl.when(valid_ref[s] != 0)
+  def _():
+    k = rows_ref[s] * bk
+    xt = x_ref[:, pl.ds(k, bk)]
+    if transpose_w:
+      acc_ref[:] += jax.lax.dot_general(
+          xt, w_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+          preferred_element_type=jnp.float32)
+    else:
+      acc_ref[:] += jnp.dot(xt, w_ref[0],
+                            preferred_element_type=jnp.float32)
+
+  last = jnp.logical_or(
+      s == ns - 1, cols_ref[jnp.minimum(s + 1, ns - 1)] != cols_ref[s])
+
+  @pl.when(last)
+  def _():
+    o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _mm_call(x, w_packed, pk, block, bm, interpret, transpose_w, n_out):
+  """block is ALWAYS the storage orientation (bk, bn) of the packed blocks.
+  transpose_w: x is gy (m, N); slices are bn-wide (N-axis), output tiles
+  bk-wide (K-axis), w contracted on its stored N axis."""
+  m, _ = x.shape
+  bk, bn = block
+  cols, rows, slots, valid = pk
+  n_entries = cols.shape[0]
+  out_bn = bk if transpose_w else bn
+  kernel = functools.partial(_mm_kernel, bk=bn if transpose_w else bk,
+                             transpose_w=transpose_w)
+  return pl.pallas_call(
+      kernel,
+      grid_spec=pltpu.PrefetchScalarGridSpec(
+          num_scalar_prefetch=4,
+          grid=(m // bm, n_entries),
+          in_specs=[
+              pl.BlockSpec((bm, x.shape[1]),
+                           lambda i, s, c, r, sl, v: (i, 0)),
+              pl.BlockSpec((1, bk, bn),
+                           lambda i, s, c, r, sl, v: (sl[s], 0, 0)),
+          ],
+          out_specs=pl.BlockSpec((bm, out_bn),
+                                 lambda i, s, c, r, sl, v: (i, c[s])),
+          scratch_shapes=[pltpu.VMEM((bm, out_bn), jnp.float32)],
+      ),
+      out_shape=jax.ShapeDtypeStruct((m, n_out), x.dtype),
+      interpret=interpret,
+  )(cols, rows, slots, valid, x, w_packed)
+
+
+def _dw_kernel(cols_ref, rows_ref, x_ref, g_ref, o_ref, acc_ref):
+  ms = pl.program_id(1)
+  nms = pl.num_programs(1)
+
+  @pl.when(ms == 0)
+  def _():
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+  acc_ref[:] += jax.lax.dot_general(
+      x_ref[:], g_ref[:], dimension_numbers=(((0,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32)
+
+  @pl.when(ms == nms - 1)
+  def _():
+    o_ref[0] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _dw_call(x, gy, packing, block, bm, interpret, out_dtype):
+  """Packed dw: grid (n_active, M/bm), auto-pipelined x/g tiles, each
+  active block's accumulator flushes straight into its packed slot."""
+  m, kdim = x.shape
+  bk, bn = block
+  nk, nn = packing['shape']
+  cols, rows, slots, valid = packing['fwd']
+  n_act = cols.shape[0] - nn
+  if n_act == 0:
+    return jnp.zeros((0, bk, bn), out_dtype)
+  # dw grid wants actives only, ordered by slot: slot s holds the s-th
+  # active entry in fwd order, so gather coords at the positions where
+  # valid == 1 — which is exactly argsort of (1 - valid) stable, truncated.
+  act = jnp.argsort(1 - valid, stable=True)[:n_act]
+  acols = cols[act]
+  arows = rows[act]
+  return pl.pallas_call(
+      _dw_kernel,
+      grid_spec=pltpu.PrefetchScalarGridSpec(
+          num_scalar_prefetch=2,
+          grid=(n_act, m // bm),
+          in_specs=[
+              pl.BlockSpec((bm, bk), lambda s, ms, c, r: (ms, r[s])),
+              pl.BlockSpec((bm, bn), lambda s, ms, c, r: (ms, c[s])),
+          ],
+          out_specs=pl.BlockSpec((1, bk, bn), lambda s, ms, c, r: (s, 0, 0)),
+          scratch_shapes=[pltpu.VMEM((bk, bn), jnp.float32)],
+      ),
+      out_shape=jax.ShapeDtypeStruct((n_act, bk, bn), out_dtype),
+      interpret=interpret,
+  )(acols, arows, x, gy)
+
+
+# ------------------------------------------------------------- public -----
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def packed_matmul(x, w_packed, packing,
+                  block: Tuple[int, int] = (512, 512),
+                  bm: int = 512,
+                  interpret: Optional[bool] = None,
+                  n_out: Optional[int] = None):
+  """y = x @ W where W is the packed block-sparse tensor.
+
+  Gradients: dx through the bwd packing (no transpose materialization),
+  dw PACKED — same layout as w_packed, ready for the optimizer."""
+  return _packed_fwd(x, w_packed, packing, block, bm, interpret, n_out)[0]
+
+
+def _resolve(packing, block, n_out):
+  nk, nn = packing['shape']
+  return (nn * block[1]) if n_out is None else n_out
+
+
+def _packed_fwd(x, w_packed, packing, block, bm, interpret, n_out):
+  if interpret is None:
+    interpret = jax.default_backend() == 'cpu'
+  y = _mm_call(x, w_packed, packing['fwd'], block, bm, interpret, False,
+               _resolve(packing, block, n_out))
+  return y, (x, w_packed)
+
+
+def _packed_fwd_res(x, w_packed, packing, block, bm, interpret, n_out):
+  y, _ = _packed_fwd(x, w_packed, packing, block, bm, interpret, n_out)
+  return y, (x, w_packed, packing)
+
+
+def _packed_bwd(block, bm, interpret, n_out, residuals, gy):
+  x, w_packed, packing = residuals
+  if interpret is None:
+    interpret = jax.default_backend() == 'cpu'
+  bk, bn = block
+  kdim = packing['shape'][0] * bk
+  dx = _mm_call(gy, w_packed, packing['bwd'], block, bm, interpret,
+                True, kdim)
+  dw = _dw_call(x, gy, packing, block, bm, interpret, w_packed.dtype)
+  return dx, dw, None
+
+
+packed_matmul.defvjp(_packed_fwd_res, _packed_bwd)

@@ -56,6 +56,34 @@ class BlockSparseMLP(nn.Module):
     return x
 
 
+def make_packed_train_scan(params, packings):
+  """Train scan on PACKED storage: weights, grads, and momentum all
+  (n_active, bk, bn) — optimizer traffic scales with density and dw never
+  materializes densely."""
+  from rigl_tpu.ops.pallas.block_sparse_packed import packed_matmul
+  tx = optax.sgd(1e-4, momentum=0.9)
+  opt_state = tx.init(params)
+
+  def loss_fn(params, x):
+    for i in range(DEPTH):
+      x = packed_matmul(x, params[f'd{i}'], packings[i], BLOCK, 512)
+      x = nn.relu(x)
+    return jnp.mean(x.astype(jnp.float32) ** 2)
+
+  @jax.jit
+  def run(x, params, opt_state):
+    def body(carry, _):
+      params, opt_state = carry
+      g = jax.grad(loss_fn)(params, x)
+      updates, opt_state = tx.update(g, opt_state, params)
+      params = optax.apply_updates(params, updates)
+      return (params, opt_state), ()
+    (p2, _), _ = jax.lax.scan(body, (params, opt_state), None, length=ITERS)
+    return p2[f'd{DEPTH - 1}']
+
+  return run, params, opt_state
+
+
 def make_v6_train_scan(params, packings):
   """Train scan on the v6 path: weights stored premasked, dw masked by the
   kernel's vjp, so momentum stays zero at inactive blocks — the premask
@@ -142,7 +170,26 @@ def main():
   dv = dense.init(jax.random.key(0), x)
   t_dense = bench(make_train_scan(dense, dv), x, 'dense train step')
 
-  if ENGINE == 'v6':
+  if ENGINE == 'packed':
+    from rigl_tpu.ops.pallas.block_sparse_packed import (make_packing as
+                                                         make_packing_p,
+                                                         pack_dense)
+    nb = (WIDTH // BLOCK[0], WIDTH // BLOCK[1])
+    packings, params = [], {}
+    for i in range(DEPTH):
+      mask_i = random_block_mask(
+          jax.random.fold_in(jax.random.key(1), i), (WIDTH, WIDTH),
+          SPARSITY, BLOCK)
+      occ = (mask_i.reshape(nb[0], BLOCK[0], nb[1], BLOCK[1])
+             .max(axis=(1, 3)) > 0).astype(jnp.int32)
+      pk = make_packing_p(occ, int(np.asarray(occ).sum()))
+      packings.append(jax.device_put(pk))
+      wm = (dv['params'][f'd{i}']['kernel'] * mask_i).astype(jnp.bfloat16)
+      params[f'd{i}'] = jax.device_put(pack_dense(wm, pk, BLOCK))
+    run, params, opt_state = make_packed_train_scan(params, packings)
+    t_sparse = bench(run, x, f'packed train step (s={SPARSITY})',
+                     params, opt_state)
+  elif ENGINE == 'v6':
     masks = {i: random_block_mask(
         jax.random.fold_in(jax.random.key(1), i), (WIDTH, WIDTH), SPARSITY,
         BLOCK) for i in range(DEPTH)}

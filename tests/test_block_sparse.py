@@ -522,3 +522,91 @@ def test_v6_packing_static_shape_across_mask_updates():
   p1, p2 = pack_columns(occ1, 2), pack_columns(occ2, 2)
   assert p1[0].shape == p2[0].shape == (5,)
   assert int(p1[2].sum()) == int(p2[2].sum()) == 2
+
+
+# --------------------------------------------------------------- packed --
+class TestPackedBlockSparse:
+  """Packed block-sparse tensors (ops/pallas/block_sparse_packed.py):
+  weights/grads/optimizer state in O(density) memory — beyond the
+  reference's dense-latent storage (sparse_optimizers_base.py keeps full
+  dense variables and multiplies masks)."""
+
+  def _setup(self, sparsity=0.6, M=256, K=512, N=768, blk=(128, 128)):
+    from rigl_tpu.ops.block_mask import (expand_from_blocks,
+                                         random_block_mask)
+    from rigl_tpu.ops.pallas import block_sparse_packed as bsp
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(M, K), jnp.float32)
+    w = jnp.asarray(rs.randn(K, N) * 0.1, jnp.float32)
+    bmask = random_block_mask(jax.random.key(1), (K, N), sparsity, blk)
+    occ = (bm_lib.pool_to_blocks(bmask, blk, 'max') > 0).astype(jnp.int32)
+    occ = occ.at[:, 2].set(0)                  # empty output column
+    mask = expand_from_blocks(occ, (K, N), blk)
+    packing = bsp.make_packing(occ, int(np.asarray(occ).sum()))
+    return bsp, x, w * mask, mask, occ, packing, blk
+
+  def test_pack_unpack_roundtrip(self):
+    bsp, x, wm, mask, occ, packing, blk = self._setup()
+    wp = bsp.pack_dense(wm, packing, blk)
+    assert wp.shape == (int(np.asarray(occ).sum()), *blk)
+    np.testing.assert_array_equal(
+        np.asarray(bsp.unpack_dense(wp, packing, blk)), np.asarray(wm))
+
+  def test_matmul_fwd_and_grads(self):
+    bsp, x, wm, mask, occ, packing, blk = self._setup()
+    wp = bsp.pack_dense(wm, packing, blk)
+    y = bsp.packed_matmul(x, wp, packing, blk, 128)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x @ wm), atol=2e-4)
+
+    def loss(x, wp):
+      return jnp.sum(jnp.sin(bsp.packed_matmul(x, wp, packing, blk, 128)))
+
+    gx, gwp = jax.grad(loss, (0, 1))(x, wp)
+    gxr, gwr = jax.grad(
+        lambda x, w: jnp.sum(jnp.sin(x @ (w * mask))), (0, 1))(x, wm)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gxr), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(bsp.unpack_dense(gwp, packing, blk)), np.asarray(gwr),
+        atol=2e-4)
+
+  def test_repack_after_mask_update(self):
+    """Drop one block, grow another: surviving blocks keep their values
+    through the permutation; grown slots are flagged -1."""
+    from rigl_tpu.ops.block_mask import expand_from_blocks
+    bsp, x, wm, mask, occ, packing, blk = self._setup()
+    wp = bsp.pack_dense(wm, packing, blk)
+    first_active = tuple(np.argwhere(np.asarray(occ))[0])
+    occ2 = occ.at[0, 2].set(1).at[first_active].set(0)
+    assert int(occ2.sum()) == int(occ.sum())
+    p2 = bsp.make_packing(occ2, int(np.asarray(occ2).sum()))
+    perm = bsp.repack_permutation(packing, p2)
+    assert int((np.asarray(perm) < 0).sum()) == 1   # exactly the grown block
+    wp2 = jnp.where((perm >= 0)[:, None, None],
+                    wp[jnp.maximum(perm, 0)], 0.0)
+    ref = wm * expand_from_blocks(occ2, wm.shape, blk)
+    np.testing.assert_array_equal(
+        np.asarray(bsp.unpack_dense(wp2, p2, blk)), np.asarray(ref))
+
+  def test_packed_sgd_momentum_step_matches_masked_dense(self):
+    """One SGD+momentum step on packed storage == the masked-dense update
+    restricted to active weights (premask invariant by construction)."""
+    import optax
+    bsp, x, wm, mask, occ, packing, blk = self._setup()
+    tx = optax.sgd(0.1, momentum=0.9)
+    wp = bsp.pack_dense(wm, packing, blk)
+    opt_p = tx.init(wp)
+
+    def loss_p(wp):
+      return jnp.mean(bsp.packed_matmul(x, wp, packing, blk, 128) ** 2)
+
+    g = jax.grad(loss_p)(wp)
+    up, opt_p = tx.update(g, opt_p, wp)
+    wp1 = optax.apply_updates(wp, up)
+
+    opt_d = tx.init(wm)
+    gd = jax.grad(lambda w: jnp.mean((x @ (w * mask)) ** 2))(wm)
+    ud, opt_d = tx.update(gd * mask, opt_d, wm)
+    wd1 = (wm + ud[0] if isinstance(ud, tuple) else wm + ud) * mask
+    np.testing.assert_allclose(
+        np.asarray(bsp.unpack_dense(wp1, packing, blk)), np.asarray(wd1),
+        atol=1e-5)
