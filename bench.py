@@ -55,6 +55,31 @@ def _bench_step(step_fn, state, batch, warmup: int, iters: int,
   return (time.perf_counter() - t0) / iters, state
 
 
+def main_mlp():
+  """BENCH_WORKLOAD=mlp: the compute-bound workload where block sparsity
+  converts to wall-clock (PERF.md round-2 session 3) — 3x4096 MLP train
+  step, packed block-sparse storage vs dense.  The RN50 default remains the
+  headline (reference's own model); this arm is the north-star
+  demonstration: the roofline proves weight sparsity cannot beat dense on
+  activation-HBM-bound RN50@224, and DOES convert where matmuls sit above
+  the ridge."""
+  import jax
+  sparsity = float(os.environ.get('BENCH_SPARSITY', '0.8'))
+  os.environ.setdefault('MLP_SPARSITY', str(sparsity))
+  os.environ.setdefault('MLP_ENGINE', 'packed')
+  sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+  from scripts import bench_blocksparse_mlp as b
+  t_dense, t_sparse = b.main()
+  result = {
+      'metric': (f'mlp{b.DEPTH}x{b.WIDTH}_packed{int(sparsity * 100)}'
+                 '_train_step_speedup_vs_dense'),
+      'value': round(t_dense / t_sparse, 4),
+      'unit': 'x dense (gross step ratio)',
+      'vs_baseline': round(t_dense / t_sparse, 4),
+  }
+  print(json.dumps(result))
+
+
 def main():
   import jax
   import jax.numpy as jnp
@@ -170,4 +195,7 @@ def main():
 
 
 if __name__ == '__main__':
-  main()
+  if os.environ.get('BENCH_WORKLOAD', 'resnet50') == 'mlp':
+    main_mlp()
+  else:
+    main()

@@ -219,6 +219,7 @@ def main():
   net_s = t_sparse - floor
   print(f'net dense: {net_d * 1e6:.1f} us  net sparse: {net_s * 1e6:.1f} us '
         f'ratio: {net_s / net_d:.3f} (north star <= 0.6)')
+  return t_dense, t_sparse
 
 
 if __name__ == '__main__':
