@@ -7,3 +7,4 @@ from rigl_tpu.layers.masked import (
     masks_to_dict,
 )
 from rigl_tpu.layers.block_sparse_dense import BlockSparseDense
+from rigl_tpu.layers.packed_dense import PackedDense

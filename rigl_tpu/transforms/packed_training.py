@@ -1,0 +1,104 @@
+"""Drop/grow sparse training ON packed block storage.
+
+The packed representation (ops/pallas/block_sparse_packed.py) stores only
+active blocks; this module gives it the same RigL/SET update semantics the
+mask-dict path has, by running the bit-exact drop/grow kernel
+(sparsity/update.py:drop_grow_update — the transcription of the reference
+sparse_optimizers_base.py:276-343) on the block-pooled occupancy grid:
+
+  * drop score  = sum |w| over each block — identical to the block-mask
+    path (ops/block_mask.py:blockwise_drop_grow pools by sum, and inactive
+    weights are exactly zero in packed storage);
+  * grow score  = block-pooled |dense grads|, computed by the caller at
+    update steps only (same lazy-dense-grads contract as SparseTraining's
+    RigL branch);
+  * repack      = permutation gather on the packed axis; grown slots start
+    at zeros (RigL's grow_init default) and their optimizer slots reset.
+
+Everything is jit-traceable with static shapes: the drop/grow kernel
+preserves the active count (floor arithmetic), so n_active — and with it
+every packed array shape and the packing entry count — is a compile-time
+constant across the whole training run.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rigl_tpu.ops.pallas.block_sparse_packed import (Packing, make_packing,
+                                                     repack_permutation)
+from rigl_tpu.sparsity import update as update_lib
+
+
+def occupancy_grid(packing: Packing) -> jnp.ndarray:
+  """(nk, nn) int32 occupancy reconstructed from the fwd entry list."""
+  nk, nn = packing['shape']
+  cols, rows, slots, valid = packing['fwd']
+  return jnp.zeros((nk, nn), jnp.int32).at[rows, cols].max(valid)
+
+
+def block_drop_scores(packed: jnp.ndarray, packing: Packing) -> jnp.ndarray:
+  """sum |w| per block scattered onto the occupancy grid (zeros at
+  inactive blocks, so they never win the keep competition)."""
+  nk, nn = packing['shape']
+  cols, rows, slots, valid = packing['fwd']
+  per_slot = jnp.sum(jnp.abs(packed.astype(jnp.float32)), axis=(1, 2))
+  vals = jnp.where(valid == 1, per_slot[slots], 0.0)
+  return jnp.zeros((nk, nn), jnp.float32).at[rows, cols].add(
+      jnp.where(valid == 1, vals, 0.0))
+
+
+class PackedUpdateResult(NamedTuple):
+  packed: jnp.ndarray        # new packed weights (grown slots zeroed)
+  packing: Packing           # new static packing
+  grown: jnp.ndarray         # (n_active,) bool — slots that are NEW
+  occupancy: jnp.ndarray     # new (nk, nn) grid
+
+
+def packed_drop_grow(packed: jnp.ndarray, packing: Packing,
+                     grow_scores_grid: jnp.ndarray,
+                     drop_fraction,
+                     n_active: int) -> PackedUpdateResult:
+  """One drop/grow update on packed storage.
+
+  grow_scores_grid: (nk, nn) block-pooled grow scores (sum |dense grad|
+  per block — pool with ops.block_mask.pool_to_blocks(..., 'sum')).
+  n_active: the static active-block count (invariant under drop/grow).
+  """
+  occ = occupancy_grid(packing).astype(jnp.float32)
+  bd = block_drop_scores(packed, packing)
+  res = update_lib.drop_grow_update(
+      occ, jnp.zeros_like(occ), bd,
+      jnp.asarray(grow_scores_grid, jnp.float32), drop_fraction,
+      grow_tensor=jnp.zeros_like(occ))
+  new_packing = make_packing(res.mask.astype(jnp.int32), n_active)
+  perm = repack_permutation(packing, new_packing)
+  grown = perm < 0
+  new_packed = jnp.where(grown[:, None, None],
+                         jnp.zeros_like(packed),
+                         packed[jnp.maximum(perm, 0)])
+  return PackedUpdateResult(new_packed, new_packing, grown,
+                            res.mask.astype(jnp.int32))
+
+
+def permute_opt_state(tree, packing_old: Packing, packing_new: Packing,
+                      grown: jnp.ndarray):
+  """Carry optimizer slots through a repack: gather surviving blocks'
+  slots into their new positions, zero the grown ones (the momentum-reset
+  the mask-dict path does via tree_map_params on drop).  Applies to every
+  leaf whose leading axis is the packed axis; scalars/counters pass
+  through."""
+  perm = repack_permutation(packing_old, packing_new)
+
+  def fix(leaf):
+    if hasattr(leaf, 'shape') and getattr(leaf, 'ndim', 0) >= 1 \
+        and leaf.shape[0] == grown.shape[0]:
+      src = leaf[jnp.maximum(perm, 0)]
+      pad = (1,) * (leaf.ndim - 1)
+      return jnp.where(grown.reshape((-1,) + pad), jnp.zeros_like(src), src)
+    return leaf
+
+  return jax.tree.map(fix, tree)
