@@ -84,6 +84,77 @@ def packed_drop_grow(packed: jnp.ndarray, packing: Packing,
                             res.mask.astype(jnp.int32))
 
 
+def unpack_params(params, packings, block: Tuple[int, int]):
+  """{name: packed} -> {name: dense (K, N)} (zeros at inactive blocks).
+
+  Used at update steps only: RigL's grow score is |dense grad|
+  (sparse_optimizers_base.py:328-334), which needs a dense-view backward.
+  Update steps are rare (every ~100 steps), so the O(K*N) materialization
+  is off the hot path — the same lazy-dense-grads contract as
+  SparseTraining's RigL branch."""
+  from rigl_tpu.ops.pallas.block_sparse_packed import unpack_dense
+  return {name: unpack_dense(params[name], packings[name], block)
+          for name in params}
+
+
+def rigl_grow_grids(dense_grads, block: Tuple[int, int]):
+  """{name: dense grad} -> {name: (nk, nn) pooled |grad| grow scores}."""
+  from rigl_tpu.ops.block_mask import pool_to_blocks
+  return {name: pool_to_blocks(jnp.abs(g.astype(jnp.float32)), block, 'sum')
+          for name, g in dense_grads.items()}
+
+
+class PackedRigLResult(NamedTuple):
+  params: dict                 # {name: packed} after drop/grow
+  packings: dict               # {name: Packing}
+  opt_state: object            # optimizer state, survivors carried, grown reset
+  occupancy: dict              # {name: (nk, nn)} new grids
+
+
+def packed_rigl_update(params, packings, opt_state, tx, grow_grids,
+                       drop_fraction, n_active) -> PackedRigLResult:
+  """One RigL mask update across a dict of packed layers, jit-traceable.
+
+  For each layer: drop by packed block |w| sums, grow by the caller's
+  pooled dense-grad grids (rigl_grow_grids), repack weights (grown blocks
+  zeroed — RigL's grow_init default) and permute/reset the optimizer state
+  through optax.tree_map_params so momentum follows surviving blocks and
+  resets on grown ones (sparse_optimizers_base.py:336-343 semantics).
+
+  Args:
+    params: {name: (n_active, bk, bn)} packed weights.
+    packings: {name: Packing}.
+    opt_state: optax state created by tx.init(params).
+    tx: the optax transformation (for tree_map_params structure).
+    grow_grids: {name: (nk, nn)} pooled grow scores.
+    drop_fraction: traced scalar.
+    n_active: {name: int} static active-block counts.
+  """
+  import optax
+
+  new_params, new_packings, occ = {}, {}, {}
+  perm_tree, grown_tree = {}, {}
+  for name in params:
+    out = packed_drop_grow(params[name], packings[name], grow_grids[name],
+                           drop_fraction, n_active[name])
+    new_params[name] = out.packed
+    new_packings[name] = out.packing
+    occ[name] = out.occupancy
+    perm_tree[name] = repack_permutation(packings[name], out.packing)
+    grown_tree[name] = out.grown
+
+  def fix(leaf, perm, grown):
+    if (hasattr(leaf, 'shape') and getattr(leaf, 'ndim', 0) >= 1
+        and leaf.shape[0] == grown.shape[0]):
+      src = leaf[jnp.maximum(perm, 0)]
+      pad = (1,) * (leaf.ndim - 1)
+      return jnp.where(grown.reshape((-1,) + pad), jnp.zeros_like(src), src)
+    return leaf
+
+  new_opt = optax.tree_map_params(tx, fix, opt_state, perm_tree, grown_tree)
+  return PackedRigLResult(new_params, new_packings, new_opt, occ)
+
+
 def permute_opt_state(tree, packing_old: Packing, packing_new: Packing,
                       grown: jnp.ndarray):
   """Carry optimizer slots through a repack: gather surviving blocks'

@@ -93,6 +93,100 @@ def test_permute_opt_state_resets_grown_and_carries_survivors():
   assert len(set(survivors.astype(int))) == len(survivors)
 
 
+def test_packed_rigl_loop_matches_dense_premask_path():
+  """Full multi-update RigL training loop on packed storage vs the dense
+  premask block-mask path, with SYNTHETIC per-step grads (identical for
+  both arms, so the comparison isolates loop semantics — kernel float
+  parity is covered elsewhere).  Asserts identical mask evolution AND
+  identical weights/momentum at every step."""
+  tx = optax.sgd(0.1, momentum=0.9)
+  layers = ['a', 'b']
+  rs = np.random.RandomState(1)
+
+  dense_w, dense_mask = {}, {}
+  packed_p, packings, n_active = {}, {}, {}
+  for i, name in enumerate(layers):
+    w = jnp.asarray(rs.randn(K, N) * 0.1, jnp.float32)
+    occ = jnp.asarray(rs.permutation(
+        np.repeat([1, 0], [8, 8]).astype(np.int32)).reshape(4, 4))
+    mask = bm_lib.expand_from_blocks(occ, (K, N), BLK)
+    dense_w[name] = w * mask
+    dense_mask[name] = mask
+    n_active[name] = int(np.asarray(occ).sum())
+    packings[name] = bsp.make_packing(occ, n_active[name])
+    packed_p[name] = bsp.pack_dense(w * mask, packings[name], BLK)
+
+  opt_d = tx.init(dense_w)
+  opt_p = tx.init(packed_p)
+  update_steps = {3, 7}
+  df = 0.3
+
+  def synth_grads(step):
+    r = np.random.RandomState(100 + step)
+    return {name: jnp.asarray(r.randn(K, N), jnp.float32)
+            for name in layers}
+
+  for step in range(10):
+    g = synth_grads(step)
+    if step in update_steps:
+      # Dense premask path: blockwise drop/grow, premask re-applied,
+      # momentum masked (drop zeroes dropped slots; grown were zero).
+      new_mask = {}
+      for name in layers:
+        res = bm_lib.blockwise_drop_grow(
+            dense_mask[name], dense_w[name], jnp.abs(dense_w[name]),
+            jnp.abs(g[name]), df, BLK)
+        new_mask[name] = res.mask
+        dense_w[name] = res.weights * res.mask
+      dense_mask = new_mask
+      opt_d = optax.tree_map_params(
+          tx, lambda mom, m: mom * m, opt_d, dense_mask)
+
+      # Packed path: pooled grow grids from the same dense grads.
+      grids = pt.rigl_grow_grids(g, BLK)
+      out = pt.packed_rigl_update(packed_p, packings, opt_p, tx, grids,
+                                  df, n_active)
+      packed_p, packings, opt_p = out.params, out.packings, out.opt_state
+      for name in layers:
+        occ_ref = (bm_lib.pool_to_blocks(dense_mask[name], BLK, 'max')
+                   > 0).astype(jnp.int32)
+        np.testing.assert_array_equal(np.asarray(out.occupancy[name]),
+                                      np.asarray(occ_ref))
+    else:
+      gm = {name: g[name] * dense_mask[name] for name in layers}
+      up, opt_d = tx.update(gm, opt_d, dense_w)
+      dense_w = optax.apply_updates(dense_w, up)
+
+      gp = {name: bsp.pack_dense(g[name], packings[name], BLK)
+            for name in layers}
+      up_p, opt_p = tx.update(gp, opt_p, packed_p)
+      packed_p = optax.apply_updates(packed_p, up_p)
+
+    for name in layers:
+      np.testing.assert_allclose(
+          np.asarray(bsp.unpack_dense(packed_p[name], packings[name], BLK)),
+          np.asarray(dense_w[name]), atol=1e-6,
+          err_msg=f'step {step} layer {name}')
+
+
+def test_packed_rigl_update_jits():
+  wm, mask, occ, n_active, packing, packed, grads = _setup()
+  tx = optax.sgd(0.1, momentum=0.9)
+  params = {'l': packed}
+  packs = {'l': packing}
+  opt = tx.init(params)
+  grids = pt.rigl_grow_grids({'l': grads}, BLK)
+
+  @jax.jit
+  def upd(params, packs, opt, grids):
+    return pt.packed_rigl_update(params, packs, opt, tx, grids, 0.3,
+                                 {'l': n_active})
+
+  out = upd(params, packs, opt, grids)
+  assert out.params['l'].shape == packed.shape
+  assert int(out.occupancy['l'].sum()) == n_active
+
+
 def test_packed_dense_layer():
   from rigl_tpu.layers import PackedDense
   model = PackedDense(features=256, sparsity=0.75, block=(128, 128), bm=128)
