@@ -460,8 +460,17 @@ class Trainer:
     return jax.jit(
         step_fn,
         donate_argnums=0,
-        in_shardings=(repl, mesh_lib.batch_sharding(self.mesh)),
+        in_shardings=(repl, self._batch_sharding()),
         out_shardings=(repl, repl))
+
+  def _batch_sharding(self):
+    """Batch sharded over 'data' when divisible; replicated otherwise
+    (e.g. the reference's MNIST batch 100 on an 8-device mesh — correct,
+    just without data parallelism on the odd remainder-free split)."""
+    n_data = self.mesh.shape['data']
+    if self.config.batch_size % n_data == 0:
+      return mesh_lib.batch_sharding(self.mesh)
+    return mesh_lib.replicated(self.mesh)
 
   # ------------------------------------------------------------------------
   def train(self, total_steps: Optional[int] = None,
@@ -501,7 +510,7 @@ class Trainer:
       train_step = train_step_plain
     else:
       train_step = self.jitted_train_step()
-    sharding = (mesh_lib.batch_sharding(self.mesh)
+    sharding = (self._batch_sharding()
                 if self.mesh is not None else None)
     it = pipeline.prefetch_to_device(self.train_ds.repeat(), size=2,
                                      sharding=sharding)

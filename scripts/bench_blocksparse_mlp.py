@@ -37,11 +37,13 @@ ENGINE = os.environ.get('MLP_ENGINE', 'v6')
 
 
 class DenseMLP(nn.Module):
+  # param_dtype matches the packed arm's bf16 storage so the dense
+  # baseline's optimizer traffic is not handicapped by f32 slots.
   @nn.compact
   def __call__(self, x):
     for i in range(DEPTH):
       x = nn.Dense(WIDTH, use_bias=False, dtype=jnp.bfloat16,
-                   name=f'd{i}')(x)
+                   param_dtype=jnp.bfloat16, name=f'd{i}')(x)
       x = nn.relu(x)
     return x
 
