@@ -80,6 +80,11 @@ def main_mlp():
   sparsity = float(os.environ.get('BENCH_SPARSITY', '0.8'))
   os.environ.setdefault('MLP_SPARSITY', str(sparsity))
   os.environ.setdefault('MLP_ENGINE', 'packed')
+  if jax.default_backend() == 'cpu':
+    # Interpret-mode pallas on the 1-core box: shrink to a smoke size.
+    os.environ.setdefault('MLP_WIDTH', '1024')
+    os.environ.setdefault('MLP_BATCH', '256')
+    os.environ.setdefault('MLP_ITERS', '2')
   sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
   from scripts import bench_blocksparse_mlp as b
   t_dense, t_sparse = b.main()

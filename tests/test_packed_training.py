@@ -187,6 +187,54 @@ def test_packed_rigl_update_jits():
   assert int(out.occupancy['l'].sum()) == n_active
 
 
+def test_packed_matmul_data_parallel_shard_map():
+  """Packed block-sparse training step under data parallelism: batch
+  sharded over the 8-device mesh via shard_map (pallas calls need manual
+  partitioning — GSPMD cannot split a custom call), packed weights
+  replicated, packed grads psum'd.  Matches the single-device dense-view
+  computation."""
+  from jax.sharding import Mesh, PartitionSpec as P
+  from jax import shard_map
+
+  devs = np.array(jax.devices()[:8])
+  assert devs.size == 8, 'conftest forces 8 virtual devices'
+  mesh = Mesh(devs, ('data',))
+
+  Kd = Nd = 256
+  blk = (64, 64)
+  rs = np.random.RandomState(3)
+  occ = jnp.asarray(rs.permutation(
+      np.repeat([1, 0], [8, 8]).astype(np.int32)).reshape(4, 4))
+  n_active = 8
+  packing = bsp.make_packing(occ, n_active)
+  wd = jnp.asarray(rs.randn(Kd, Nd) * 0.1, jnp.float32)
+  wm = wd * bm_lib.expand_from_blocks(occ, (Kd, Nd), blk)
+  packed = bsp.pack_dense(wm, packing, blk)
+  x = jnp.asarray(rs.randn(64, Kd), jnp.float32)
+
+  def local_loss_and_grad(xl, w):
+    def loss(w):
+      y = bsp.packed_matmul(xl, w, packing, blk, 8, True)
+      # Sum (not mean) locally; global mean = psum(sum) / global count.
+      return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    l, g = jax.value_and_grad(loss)(w)
+    return (jax.lax.psum(l, 'data') / (64 * Nd),
+            jax.lax.psum(g, 'data') / (64 * Nd))
+
+  fn = jax.jit(shard_map(local_loss_and_grad, mesh=mesh,
+                         in_specs=(P('data'), P()), out_specs=(P(), P()),
+                         check_vma=False))
+  loss, grad = fn(x, packed)
+
+  ref_l, ref_g = jax.value_and_grad(
+      lambda w: jnp.sum((x @ bsp.unpack_dense(w, packing, blk)) ** 2)
+      / (64 * Nd))(packed)
+  np.testing.assert_allclose(float(loss), float(ref_l), rtol=1e-5)
+  np.testing.assert_allclose(np.asarray(grad), np.asarray(ref_g),
+                             rtol=1e-4, atol=1e-5)
+
+
 def test_packed_dense_layer():
   from rigl_tpu.layers import PackedDense
   model = PackedDense(features=256, sparsity=0.75, block=(128, 128), bm=128)
