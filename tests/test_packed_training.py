@@ -251,6 +251,57 @@ def test_packed_dense_layer():
   np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=2e-4)
 
 
+def test_packed_conv1x1_matches_dense_conv():
+  """PackedConv1x1 == dense 1x1 conv with the unpacked kernel, incl.
+  stride-2 subsampling."""
+  from rigl_tpu.layers import PackedConv1x1
+  rs = np.random.RandomState(0)
+  x = jnp.asarray(rs.randn(2, 8, 8, 256), jnp.float32)
+  for strides in [(1, 1), (2, 2)]:
+    model = PackedConv1x1(features=256, sparsity=0.75, block=(128, 128),
+                          bm=32, strides=strides)
+    variables = model.init(jax.random.key(0), x)
+    assert variables['params']['kernel'].shape == (1, 128, 128)
+    y = model.apply(variables, x)
+    wd = bsp.unpack_dense(variables['params']['kernel'],
+                          variables['packing']['kernel'], (128, 128))
+    ref = jax.lax.conv_general_dilated(
+        x, wd.reshape(1, 1, 256, 256), strides, 'SAME',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    assert y.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=2e-4)
+
+
+def test_packed_rigl_update_with_adam():
+  """packed_rigl_update permutes/resets BOTH Adam moments through
+  tree_map_params."""
+  wm, mask, occ, n_active, packing, packed, grads = _setup()
+  tx = optax.adam(1e-3)
+  params = {'l': packed}
+  opt = tx.init(params)
+  # One real update so mu/nu are nonzero.
+  g = {'l': bsp.pack_dense(grads, packing, BLK)}
+  up, opt = tx.update(g, opt, params)
+  params = optax.apply_updates(params, up)
+
+  mu_before = np.asarray(opt[0].mu['l'])
+  nu_before = np.asarray(opt[0].nu['l'])
+
+  grids = pt.rigl_grow_grids({'l': grads}, BLK)
+  out = pt.packed_rigl_update(params, {'l': packing}, opt, tx, grids, 0.3,
+                              {'l': n_active})
+  mu = np.asarray(out.opt_state[0].mu['l'])
+  nu = np.asarray(out.opt_state[0].nu['l'])
+  perm = np.asarray(pt.repack_permutation(packing, out.packings['l']))
+  grown = perm < 0
+  assert grown.sum() > 0
+  # Grown slots: both moments zeroed.
+  assert np.all(mu[grown] == 0) and np.all(nu[grown] == 0)
+  # Survivors: both moments carried from their source slot.
+  np.testing.assert_array_equal(mu[~grown], mu_before[perm[~grown]])
+  np.testing.assert_array_equal(nu[~grown], nu_before[perm[~grown]])
+
+
 def test_packed_dense_trains():
   """A few SGD steps reduce loss; gradients exist only on packed storage."""
   from rigl_tpu.layers import PackedDense
