@@ -132,9 +132,16 @@ def packed_rigl_update(params, packings, opt_state, tx, grow_grids,
   """
   import optax
 
-  new_params, new_packings, occ = {}, {}, {}
+  new_params, new_packings, occ = dict(params), {}, {}
   perm_tree, grown_tree = {}, {}
+  empty = jnp.zeros((0,), jnp.int32)
   for name in params:
+    if name not in packings:
+      # Dense (non-packed) entry, e.g. a classifier head: opt slots pass
+      # through untouched (empty sentinel -> fix() is a no-op).
+      perm_tree[name] = empty
+      grown_tree[name] = empty
+      continue
     out = packed_drop_grow(params[name], packings[name], grow_grids[name],
                            drop_fraction, n_active[name])
     new_params[name] = out.packed
@@ -144,7 +151,8 @@ def packed_rigl_update(params, packings, opt_state, tx, grow_grids,
     grown_tree[name] = out.grown
 
   def fix(leaf, perm, grown):
-    if (hasattr(leaf, 'shape') and getattr(leaf, 'ndim', 0) >= 1
+    if (grown.shape[0] > 0 and hasattr(leaf, 'shape')
+        and getattr(leaf, 'ndim', 0) >= 1
         and leaf.shape[0] == grown.shape[0]):
       src = leaf[jnp.maximum(perm, 0)]
       pad = (1,) * (leaf.ndim - 1)
