@@ -1,0 +1,157 @@
+"""Transformer blocks on PACKED block-sparse storage.
+
+Every parameter matmul (fused QKV, attention output projection, both FFN
+matmuls) is a PackedDense: weights, gradients, and optimizer slots live as
+`(n_active, bk, bn)` packed blocks — O(density) memory — and execute on
+the packed pallas kernels that skip inactive blocks' DMA and MXU work.
+Attention math (logits/softmax/weighted sum) and LayerNorms stay dense:
+sparsity here is WEIGHT sparsity, as in the reference (the reference has
+no transformer family; this extends its RigL/SET algorithms — which are
+architecture-agnostic, sparse_optimizers_base.py — to the model class
+where the compute-bound packed win applies directly, PERF.md round-2
+session 4).
+
+Blocks are sized so every matmul's (in, out) divides `block`; with the
+defaults (128,128) that means d_model and d_ff multiples of 128.
+
+`DenseTransformer` is the equal-architecture, equal-dtype dense twin used
+by parity tests and the benchmark's baseline arm.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rigl_tpu.layers.packed_dense import PackedDense
+
+
+class _Attention(nn.Module):
+  """Multi-head self-attention with pluggable projection layer factory."""
+  num_heads: int
+  make_proj: Any            # (features, name) -> nn.Module
+  dtype: Any = jnp.float32
+
+  @nn.compact
+  def __call__(self, x):
+    b, s, d = x.shape
+    h = self.num_heads
+    hd = d // h
+    qkv = self.make_proj(3 * d, 'qkv')(x.reshape(b * s, d))
+    q, k, v = jnp.split(qkv.reshape(b, s, 3 * d), 3, axis=-1)
+    q = q.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
+    logits = jnp.einsum('bhqd,bhkd->bhqk', q, k) / np.sqrt(hd)
+    # Causal mask: this family benches/trains as a decoder stack.
+    mask = jnp.tril(jnp.ones((s, s), bool))
+    logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(v.dtype)
+    o = jnp.einsum('bhqk,bhkd->bhqd', probs, v)
+    o = o.transpose(0, 2, 1, 3).reshape(b * s, d)
+    return self.make_proj(d, 'out')(o).reshape(b, s, d)
+
+
+class _Block(nn.Module):
+  num_heads: int
+  d_ff: int
+  make_proj: Any
+  dtype: Any = jnp.float32
+
+  @nn.compact
+  def __call__(self, x):
+    b, s, d = x.shape
+    h = nn.LayerNorm(dtype=self.dtype, name='ln1')(x)
+    x = x + _Attention(self.num_heads, self.make_proj, self.dtype,
+                       name='attn')(h)
+    h = nn.LayerNorm(dtype=self.dtype, name='ln2')(x)
+    h2 = self.make_proj(self.d_ff, 'fc1')(h.reshape(b * s, d))
+    h2 = jax.nn.gelu(h2)
+    h2 = self.make_proj(d, 'fc2')(h2)
+    return x + h2.reshape(b, s, d)
+
+
+class PackedTransformer(nn.Module):
+  """Decoder stack whose parameter matmuls are packed block-sparse.
+
+  vocab_size == 0 means "pre-embedded inputs" (bench mode): __call__ takes
+  (B, S, d_model) floats and returns (B, S, d_model).
+  """
+  num_layers: int = 2
+  d_model: int = 512
+  d_ff: int = 2048
+  num_heads: int = 8
+  vocab_size: int = 0
+  sparsity: float = 0.8
+  block: Tuple[int, int] = (128, 128)
+  bm: int = 512
+  dtype: Any = jnp.float32
+
+  @nn.compact
+  def __call__(self, x):
+    # A plain closure, NOT a bound Module method: flax re-enters the
+    # owning module's scope for any Module-method call, which would make
+    # every projection a (name-colliding) child of this module.
+    sparsity, block, bm, dtype = (self.sparsity, self.block, self.bm,
+                                  self.dtype)
+
+    def proj(features, name):
+      return PackedDense(features, sparsity=sparsity, block=block, bm=bm,
+                         use_bias=False, dtype=dtype, name=name)
+
+    if self.vocab_size:
+      x = nn.Embed(self.vocab_size, self.d_model,
+                   dtype=self.dtype, name='embed')(x)
+    for i in range(self.num_layers):
+      x = _Block(self.num_heads, self.d_ff, proj, self.dtype,
+                 name=f'block{i}')(x)
+    x = nn.LayerNorm(dtype=self.dtype, name='ln_f')(x)
+    if self.vocab_size:
+      # Untied dense head (kept dense like the MLP drivers' classifier).
+      x = nn.Dense(self.vocab_size, use_bias=False, dtype=self.dtype,
+                   name='head')(x)
+    return x
+
+
+class DenseTransformer(nn.Module):
+  """Equal-architecture dense twin (param_dtype matches compute dtype so
+  optimizer traffic is comparable in benchmarks)."""
+  num_layers: int = 2
+  d_model: int = 512
+  d_ff: int = 2048
+  num_heads: int = 8
+  vocab_size: int = 0
+  dtype: Any = jnp.float32
+
+  @nn.compact
+  def __call__(self, x):
+    dtype = self.dtype
+
+    def proj(features, name):
+      return _Dense2D(features, dtype, name=name)
+
+    if self.vocab_size:
+      x = nn.Embed(self.vocab_size, self.d_model,
+                   dtype=self.dtype, name='embed')(x)
+    for i in range(self.num_layers):
+      x = _Block(self.num_heads, self.d_ff, proj, self.dtype,
+                 name=f'block{i}')(x)
+    x = nn.LayerNorm(dtype=self.dtype, name='ln_f')(x)
+    if self.vocab_size:
+      x = nn.Dense(self.vocab_size, use_bias=False, dtype=self.dtype,
+                   name='head')(x)
+    return x
+
+
+class _Dense2D(nn.Module):
+  features: int
+  dtype: Any = jnp.float32
+
+  @nn.compact
+  def __call__(self, x):
+    return nn.Dense(self.features, use_bias=False, dtype=self.dtype,
+                    param_dtype=self.dtype, name='d')(x)

@@ -29,6 +29,7 @@ SPARSITY = float(os.environ.get('DIGITS_SPARSITY', 0.9))
 LR = float(os.environ.get('DIGITS_LR', 0.05))
 ARMS = os.environ.get('DIGITS_ARMS', 'dense,packed_rigl,packed_static'
                       ).split(',')
+SEEDS = [int(s) for s in os.environ.get('DIGITS_SEEDS', '0,1,2').split(',')]
 
 
 def load_digits_flat():
@@ -49,22 +50,27 @@ def run_arm(arm, data):
   xtr, ytr, xte, yte = data
   sparsity = 0.0 if arm == 'dense' else SPARSITY
   static = arm == 'packed_static'
-  cfg = PackedMLPConfig(
-      in_features=784, widths=(512, 256), num_classes=10,
-      sparsity=sparsity, block=(16, 16), via='dense_view',
-      learning_rate=LR, momentum=0.9, train_steps=STEPS, batch_size=100,
-      maskupdate_begin_step=0,
-      maskupdate_end_step=0 if (static or arm == 'dense')
-      else int(STEPS * 0.75),
-      maskupdate_frequency=100, drop_fraction=0.3,
-      drop_fraction_anneal='constant' if (static or arm == 'dense')
-      else 'cosine',
-      seed=0)
-  tr = PackedMLPTrainer(cfg)
-  res = tr.train((xtr, ytr), eval_xy=(xte, yte))
+  accs, updates = [], 0
+  for seed in SEEDS:
+    cfg = PackedMLPConfig(
+        in_features=784, widths=(512, 256), num_classes=10,
+        sparsity=sparsity, block=(16, 16), via='dense_view',
+        learning_rate=LR, momentum=0.9, train_steps=STEPS, batch_size=100,
+        maskupdate_begin_step=0,
+        maskupdate_end_step=0 if (static or arm == 'dense')
+        else int(STEPS * 0.75),
+        maskupdate_frequency=100, drop_fraction=0.3,
+        drop_fraction_anneal='constant' if (static or arm == 'dense')
+        else 'cosine',
+        seed=seed)
+    tr = PackedMLPTrainer(cfg)
+    res = tr.train((xtr, ytr), eval_xy=(xte, yte))
+    accs.append(res['eval_top_1'])
+    updates = res['mask_updates']
   out = {'arm': arm, 'sparsity': sparsity,
-         'eval_top_1': round(res['eval_top_1'], 4),
-         'mask_updates': res['mask_updates'], 'steps': STEPS}
+         'eval_top_1_mean': round(float(np.mean(accs)), 4),
+         'eval_top_1_per_seed': [round(a, 4) for a in accs],
+         'mask_updates': updates, 'steps': STEPS}
   print(json.dumps(out))
   return out
 
