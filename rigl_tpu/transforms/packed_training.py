@@ -163,6 +163,67 @@ def packed_rigl_update(params, packings, opt_state, tx, grow_grids,
   return PackedRigLResult(new_params, new_packings, new_opt, occ)
 
 
+def flax_packed_rigl_update(params, packings, opt_state, tx, dense_grads,
+                            drop_fraction, block: Tuple[int, int]):
+  """packed_rigl_update over NESTED flax trees (any model built from
+  PackedDense / PackedConv1x1 / PackedTransformer).
+
+  Args:
+    params: the model's 'params' tree (packed kernels + any dense leaves).
+    packings: the model's 'packing' collection tree (mirrors params at the
+      packed kernels; Packing instances are leaves).
+    opt_state: optax state created by tx.init(params).
+    tx: the optax transformation.
+    dense_grads: {flattened-path tuple: dense (K, N) grad} for each packed
+      kernel — computed by the caller via a dense-view forward at update
+      steps only (e.g. the model's dense twin with unpack_dense'd kernels,
+      see tests/test_packed_transformer.py).
+    drop_fraction: traced scalar.
+    block: the packed block size.
+
+  Returns:
+    PackedRigLResult with nested params/packings trees.
+  """
+  import flax.traverse_util as tv
+  import optax
+  from rigl_tpu.ops.block_mask import pool_to_blocks
+
+  flat_p = dict(tv.flatten_dict(params))
+  flat_pk = dict(tv.flatten_dict(packings))
+  perm_flat, grown_flat, occ = {}, {}, {}
+  empty = jnp.zeros((0,), jnp.int32)
+  for path in flat_p:
+    if path not in flat_pk:
+      perm_flat[path] = empty
+      grown_flat[path] = empty
+      continue
+    pk = flat_pk[path]
+    n_act = int(flat_p[path].shape[0])
+    grid = pool_to_blocks(jnp.abs(dense_grads[path].astype(jnp.float32)),
+                          block, 'sum')
+    out = packed_drop_grow(flat_p[path], pk, grid, drop_fraction, n_act)
+    perm_flat[path] = repack_permutation(pk, out.packing)
+    grown_flat[path] = out.grown
+    flat_p[path] = out.packed
+    flat_pk[path] = out.packing
+    occ[path] = out.occupancy
+
+  def fix(leaf, perm, grown):
+    if (grown.shape[0] > 0 and hasattr(leaf, 'shape')
+        and getattr(leaf, 'ndim', 0) >= 1
+        and leaf.shape[0] == grown.shape[0]):
+      src = leaf[jnp.maximum(perm, 0)]
+      pad = (1,) * (leaf.ndim - 1)
+      return jnp.where(grown.reshape((-1,) + pad), jnp.zeros_like(src), src)
+    return leaf
+
+  new_opt = optax.tree_map_params(
+      tx, fix, opt_state, tv.unflatten_dict(perm_flat),
+      tv.unflatten_dict(grown_flat))
+  return PackedRigLResult(tv.unflatten_dict(flat_p),
+                          tv.unflatten_dict(flat_pk), new_opt, occ)
+
+
 def permute_opt_state(tree, packing_old: Packing, packing_new: Packing,
                       grown: jnp.ndarray):
   """Carry optimizer slots through a repack: gather surviving blocks'

@@ -75,6 +75,67 @@ def test_packed_transformer_lm_trains():
   assert losses[-1] < losses[0] * 0.7, losses[::10]
 
 
+def test_packed_transformer_rigl_update():
+  """RigL drop/grow on the transformer's packed kernels via the nested-tree
+  helper: dense grads come from the dense twin, occupancy counts are
+  preserved, momentum follows surviving blocks, and training continues."""
+  from rigl_tpu.transforms.packed_training import flax_packed_rigl_update
+  model = PackedTransformer(sparsity=0.5, block=BLK, bm=16, **CFG)
+  x = jnp.asarray(np.random.RandomState(1).randn(2, 8, 64), jnp.float32)
+  variables = model.init(jax.random.key(0), x)
+  params, packing = variables['params'], variables['packing']
+  tx = optax.sgd(0.05, momentum=0.9)
+  opt = tx.init(params)
+
+  def loss_fn(params):
+    out = model.apply({'params': params, 'packing': packing}, x)
+    return jnp.mean(out.astype(jnp.float32) ** 2)
+
+  for _ in range(3):            # build up momentum
+    loss, g = jax.value_and_grad(loss_fn)(params)
+    up, opt = tx.update(g, opt, params)
+    params = optax.apply_updates(params, up)
+
+  # Dense grads at every packed kernel via the dense twin.
+  dense = DenseTransformer(**CFG)
+  dv = _dense_params_from_packed({'params': params, 'packing': packing})
+
+  def dense_loss(dv):
+    return jnp.mean(dense.apply({'params': dv}, x
+                                ).astype(jnp.float32) ** 2)
+
+  gd = traverse.flatten_dict(jax.grad(dense_loss)(dv))
+  flat_pk = traverse.flatten_dict(packing)
+  dense_grads = {p[:-2] + ('kernel',): v for p, v in gd.items()
+                 if p[:-2] + ('kernel',) in flat_pk}
+
+  before = {p: int(v.shape[0])
+            for p, v in traverse.flatten_dict(params).items()
+            if p in flat_pk}
+  out = flax_packed_rigl_update(params, packing, opt, tx, dense_grads,
+                                0.3, BLK)
+  after_p = traverse.flatten_dict(out.params)
+  for p, n in before.items():
+    assert after_p[p].shape[0] == n          # static count preserved
+  assert any(np.asarray(g).sum() > 0
+             for g in
+             [np.asarray(out.occupancy[p]).sum() for p in out.occupancy])
+
+  # Training continues on the new topology.
+  packing2, params2, opt2 = out.packings, out.params, out.opt_state
+
+  def loss2(params):
+    o = model.apply({'params': params, 'packing': packing2}, x)
+    return jnp.mean(o.astype(jnp.float32) ** 2)
+
+  l0 = float(loss2(params2))
+  for _ in range(5):
+    loss, g = jax.value_and_grad(loss2)(params2)
+    up, opt2 = tx.update(g, opt2, params2)
+    params2 = optax.apply_updates(params2, up)
+  assert float(loss2(params2)) < l0
+
+
 def test_packed_transformer_param_memory_scales_with_density():
   model = PackedTransformer(sparsity=0.75, block=BLK, bm=16, **CFG)
   x = jnp.zeros((1, 4, 64), jnp.float32)
