@@ -171,6 +171,24 @@ def _mm_kernel(cols_ref, rows_ref, slots_ref, valid_ref, x_ref, w_ref,
     o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
+def _clamp_bm(bm: int, m: int, kdim: int, out_bn: int, block) -> int:
+  """Largest bm (halving from the request, divisor of m) whose VMEM
+  working set fits the ~16MB/core budget: double-buffered x row panel
+  (bm, kdim) + w block + out tile, f32 accumulator.  A (bm=512, K=8192)
+  request otherwise OOMs scoped vmem (observed on v5e: 19MB > 16MB)."""
+  bk, bn = block
+  limit = 13 * 2 ** 20
+  while bm > 8:
+    need = (2 * bm * kdim * 2          # x panel, double-buffered, bf16
+            + 2 * bk * bn * 2          # w block
+            + 2 * bm * out_bn * 2      # out tile
+            + bm * out_bn * 4)         # f32 accumulator
+    if need <= limit and m % bm == 0:
+      return bm
+    bm //= 2
+  return bm
+
+
 def _mm_call(x, w_packed, pk, block, bm, interpret, transpose_w, n_out):
   """block is ALWAYS the storage orientation (bk, bn) of the packed blocks.
   transpose_w: x is gy (m, N); slices are bn-wide (N-axis), output tiles
@@ -180,6 +198,7 @@ def _mm_call(x, w_packed, pk, block, bm, interpret, transpose_w, n_out):
   cols, rows, slots, valid = pk
   n_entries = cols.shape[0]
   out_bn = bk if transpose_w else bn
+  bm = _clamp_bm(bm, m, x.shape[1], out_bn, block)
   kernel = functools.partial(_mm_kernel, bk=bn if transpose_w else bk,
                              transpose_w=transpose_w)
   return pl.pallas_call(
