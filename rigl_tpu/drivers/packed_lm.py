@@ -1,0 +1,134 @@
+"""Packed block-sparse transformer LM driver: causal language modeling
+where every parameter matmul's weights, gradients, and optimizer slots
+live as `(n_active, bk, bn)` packed blocks (train/packed_lm.py), with RigL
+drop/grow running ON packed storage.
+
+Data: `--data_file` points at ANY local file, consumed byte-level
+(vocab 256) with a 90/10 train/eval split; unset falls back to a
+deterministic synthetic byte stream, like every other driver here.
+
+The reference has no transformer family (its models stop at ResNet/VGG/
+MobileNet + MLPs); this driver is the packed engine applied to the model
+class production cares about, using the same architecture-agnostic
+RigL semantics (sparse_optimizers_base.py:276-343).
+
+  python -m rigl_tpu.drivers.packed_lm --train_steps=2000 \
+      --end_sparsity=0.8 --data_file=/path/to/corpus.txt
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+from absl import app
+
+from rigl_tpu.drivers import common
+from rigl_tpu.drivers.common import safe_flags
+
+FLAGS = common.flags.FLAGS
+common.define_common_flags(default_method='rigl', default_sparsity=0.8,
+                           default_steps=1000, default_batch=8,
+                           default_frequency=100, default_end_step=750,
+                           default_anneal='cosine', default_lr=1e-3)
+safe_flags.DEFINE_string('data_file', None,
+                         'any local file, read as a byte stream '
+                         '(synthetic stream if unset)')
+safe_flags.DEFINE_integer('num_layers', 2, 'transformer blocks')
+safe_flags.DEFINE_integer('d_model', 256, '')
+safe_flags.DEFINE_integer('d_ff', 1024, '')
+safe_flags.DEFINE_integer('num_heads', 8, '')
+safe_flags.DEFINE_integer('seq_len', 128, '')
+safe_flags.DEFINE_string('packed_block', '16,16',
+                         'block (bk,bn) of packed storage; TPU kernel '
+                         'execution needs bn=128, bk%8==0')
+safe_flags.DEFINE_integer('packed_bm', 128, 'row-panel size of the packed '
+                          'matmul (VMEM-clamped automatically)')
+safe_flags.DEFINE_string('lm_dtype', 'float32', 'float32|bfloat16')
+safe_flags.DEFINE_integer('warmup_steps', 50, 'linear LR warmup')
+
+
+def synthetic_stream(n: int = 200_000, seed: int = 0) -> np.ndarray:
+  """Deterministic learnable byte stream: a noisy order-2 Markov walk over
+  a 64-symbol alphabet (same spirit as the synthetic fallbacks in
+  data/datasets.py — structure a model can learn, no external data)."""
+  rs = np.random.RandomState(seed)
+  table = rs.randint(0, 64, size=(64, 64))
+  out = np.empty(n, np.int64)
+  out[0], out[1] = 1, 2
+  noise = rs.rand(n)
+  rand_sym = rs.randint(0, 64, size=n)
+  for i in range(2, n):
+    out[i] = rand_sym[i] if noise[i] < 0.1 else \
+        table[out[i - 2], out[i - 1]]
+  return out.astype(np.int32)
+
+
+def load_tokens():
+  if FLAGS.data_file:
+    raw = np.fromfile(FLAGS.data_file, dtype=np.uint8)
+    if len(raw) < 10 * (FLAGS.seq_len + 1):
+      raise ValueError(f'--data_file too small: {len(raw)} bytes')
+    return raw.astype(np.int32), 256, 'file:' + os.path.basename(
+        FLAGS.data_file)
+  return synthetic_stream(seed=FLAGS.seed), 64, 'synthetic'
+
+
+def main(argv):
+  del argv
+  from rigl_tpu.train.packed_lm import PackedLMConfig, PackedLMTrainer
+
+  if FLAGS.training_method not in ('rigl', 'static'):
+    raise ValueError('packed LM driver supports rigl (drop/grow) or static '
+                     f'(frozen topology), got {FLAGS.training_method!r}')
+
+  tokens, vocab, source = load_tokens()
+  split = int(len(tokens) * 0.9)
+  train_tokens, eval_tokens = tokens[:split], tokens[split:]
+
+  cfg = PackedLMConfig(
+      vocab_size=vocab,
+      num_layers=FLAGS.num_layers,
+      d_model=FLAGS.d_model,
+      d_ff=FLAGS.d_ff,
+      num_heads=FLAGS.num_heads,
+      seq_len=FLAGS.seq_len,
+      sparsity=FLAGS.end_sparsity,
+      block=tuple(int(b) for b in FLAGS.packed_block.split(',')),
+      bm=FLAGS.packed_bm,
+      dtype=FLAGS.lm_dtype,
+      learning_rate=FLAGS.learning_rate,
+      warmup_steps=FLAGS.warmup_steps,
+      train_steps=int(FLAGS.train_steps * FLAGS.training_steps_multiplier),
+      batch_size=FLAGS.batch_size,
+      maskupdate_begin_step=FLAGS.maskupdate_begin_step,
+      maskupdate_end_step=(0 if FLAGS.training_method == 'static'
+                           else FLAGS.maskupdate_end_step),
+      maskupdate_frequency=FLAGS.maskupdate_frequency,
+      drop_fraction=FLAGS.drop_fraction,
+      drop_fraction_anneal=(FLAGS.drop_fraction_anneal
+                            if FLAGS.training_method == 'rigl' else
+                            'constant'),
+      seed=FLAGS.seed)
+
+  trainer = PackedLMTrainer(cfg)
+  if FLAGS.output_dir and trainer.restore(FLAGS.output_dir):
+    print(f'# resumed at step {trainer.step}')
+
+  result = trainer.train(train_tokens, eval_tokens=eval_tokens,
+                         progress_fn=lambda m: print(m),
+                         log_every=FLAGS.log_every)
+  result['data_source'] = source
+  result['vocab_size'] = vocab
+
+  if FLAGS.output_dir:
+    trainer.save(FLAGS.output_dir)
+    with open(os.path.join(FLAGS.output_dir, 'result.json'), 'w') as f:
+      json.dump(result, f, indent=2)
+  print(json.dumps(result, indent=2))
+  return result
+
+
+if __name__ == '__main__':
+  app.run(main)

@@ -1,0 +1,301 @@
+"""Causal-LM training loop on PACKED block-sparse transformer storage.
+
+The transformer-family product surface of the packed engine: every
+parameter matmul of the model (fused QKV, attention out-proj, both FFN
+matmuls) keeps weights, gradients, and optimizer slots as `(n_active, bk,
+bn)` packed blocks — O(density) memory end to end — with RigL drop/grow
+running on packed storage via transforms/packed_training.py's nested-tree
+helper.  Embedding, LayerNorms, and the untied head stay dense (weight
+sparsity on the matmuls, as everywhere in this package).
+
+The reference has no transformer family; this extends its
+architecture-agnostic RigL/SET semantics (sparse_optimizers_base.py) to
+the model class where the packed compute win applies directly
+(PERF.md round-2: packed matmul train steps run 2.3-2.9x dense at
+s=0.8/0.9 on compute-bound shapes).
+
+Used by drivers/packed_lm.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Dict, Tuple
+
+import flax.traverse_util as traverse
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from rigl_tpu.models.packed_transformer import (DenseTransformer,
+                                                PackedTransformer)
+from rigl_tpu.ops.pallas.block_sparse_packed import make_packing, unpack_dense
+from rigl_tpu.sparsity.schedules import UpdateSchedule
+from rigl_tpu.transforms import packed_training as pt
+
+
+@dataclasses.dataclass
+class PackedLMConfig:
+  vocab_size: int = 256                  # byte-level by default
+  num_layers: int = 2
+  d_model: int = 256
+  d_ff: int = 1024
+  num_heads: int = 8
+  seq_len: int = 128
+  sparsity: float = 0.8
+  block: Tuple[int, int] = (16, 16)
+  bm: int = 128
+  dtype: str = 'float32'                 # 'bfloat16' on TPU
+  learning_rate: float = 1e-3
+  warmup_steps: int = 50
+  train_steps: int = 1000
+  batch_size: int = 8
+  maskupdate_begin_step: int = 0
+  maskupdate_end_step: int = 750
+  maskupdate_frequency: int = 100
+  drop_fraction: float = 0.3
+  drop_fraction_anneal: str = 'cosine'
+  seed: int = 0
+
+  def model_kwargs(self) -> Dict[str, Any]:
+    return dict(num_layers=self.num_layers, d_model=self.d_model,
+                d_ff=self.d_ff, num_heads=self.num_heads,
+                vocab_size=self.vocab_size,
+                dtype=jnp.dtype(self.dtype))
+
+
+def dense_twin_params(params, packings, block):
+  """Packed params tree -> DenseTransformer params tree (packed kernels
+  unpacked to dense with zeros at inactive blocks; other leaves shared).
+
+  PackedDense stores its kernel at (..., 'kernel'); the dense twin's
+  equivalent lives one module deeper at (..., 'd', 'kernel')."""
+  flat_p = traverse.flatten_dict(params)
+  flat_pk = traverse.flatten_dict(packings)
+  out = {}
+  for path, v in flat_p.items():
+    if path in flat_pk:
+      out[path[:-1] + ('d', 'kernel')] = unpack_dense(v, flat_pk[path], block)
+    else:
+      out[path] = v
+  return traverse.unflatten_dict(out)
+
+
+class PackedLMTrainer:
+  """Packed-transformer causal-LM training: init / step / update / eval /
+  checkpoint.  All packed shapes are static for the whole run (drop/grow
+  preserves n_active), so the jit step recompiles only when a mask update
+  changes the packing constants."""
+
+  def __init__(self, cfg: PackedLMConfig):
+    if cfg.d_model % cfg.block[0] or cfg.d_model % cfg.block[1] \
+        or cfg.d_ff % cfg.block[0] or cfg.d_ff % cfg.block[1]:
+      raise ValueError(f'd_model={cfg.d_model} and d_ff={cfg.d_ff} must '
+                       f'divide block {cfg.block}')
+    self.cfg = cfg
+    self.model = PackedTransformer(sparsity=cfg.sparsity, block=cfg.block,
+                                   bm=cfg.bm, **cfg.model_kwargs())
+    self.dense_twin = DenseTransformer(**cfg.model_kwargs())
+    sched = optax.linear_schedule(0.0, cfg.learning_rate,
+                                  max(cfg.warmup_steps, 1))
+    self.tx = optax.adam(sched)
+    self.schedule = UpdateSchedule(
+        cfg.maskupdate_begin_step, cfg.maskupdate_end_step,
+        cfg.maskupdate_frequency, cfg.drop_fraction,
+        cfg.drop_fraction_anneal)
+    self.last_update_step = self.schedule.initial_last_update_step
+    self.params = None
+    self.packings = None
+    self.opt_state = None
+    self.step = 0
+    self.batches_seen = 0
+    self._jit_step = None
+
+  # ------------------------------------------------------------- state ----
+  def init_state(self):
+    cfg = self.cfg
+    dummy = jnp.zeros((1, cfg.seq_len), jnp.int32)
+    variables = self.model.init(jax.random.key(cfg.seed), dummy)
+    self.params = variables['params']
+    self.packings = variables['packing']
+    self.opt_state = self.tx.init(self.params)
+    self.step = 0
+    self.batches_seen = 0
+    self.last_update_step = self.schedule.initial_last_update_step
+    self._jit_step = None
+
+  # -------------------------------------------------------------- loss ----
+  def _loss(self, params, packings, x, y):
+    lg = self.model.apply({'params': params, 'packing': packings}, x)
+    lg = lg.astype(jnp.float32)
+    b, s = y.shape
+    ll = jax.nn.log_softmax(lg)[jnp.arange(b)[:, None],
+                                jnp.arange(s)[None, :], y]
+    return -jnp.mean(ll)
+
+  # -------------------------------------------------------------- steps ----
+  def _make_jit_step(self):
+    packings = self.packings
+
+    @jax.jit
+    def step_fn(params, opt_state, x, y):
+      loss, g = jax.value_and_grad(
+          lambda p: self._loss(p, packings, x, y))(params)
+      updates, opt_state = self.tx.update(g, opt_state, params)
+      return optax.apply_updates(params, updates), opt_state, loss
+
+    return step_fn
+
+  def train_step(self, x, y) -> float:
+    if self._jit_step is None:
+      self._jit_step = self._make_jit_step()
+    self.params, self.opt_state, loss = self._jit_step(
+        self.params, self.opt_state, x, y)
+    return float(loss)
+
+  def is_update_step(self, step: int) -> bool:
+    return bool(self.schedule.is_update_iter(step, self.last_update_step))
+
+  def mask_update(self, x, y):
+    """RigL drop/grow on every packed kernel: dense grads (inactive blocks
+    included) via the dense twin, drop by packed block |w| sums, slot
+    permutation + grown-slot reset through optax.tree_map_params."""
+    cfg = self.cfg
+    dv = dense_twin_params(self.params, self.packings, cfg.block)
+
+    def dense_loss(dv):
+      lg = self.dense_twin.apply({'params': dv}, x).astype(jnp.float32)
+      b, s = y.shape
+      ll = jax.nn.log_softmax(lg)[jnp.arange(b)[:, None],
+                                  jnp.arange(s)[None, :], y]
+      return -jnp.mean(ll)
+
+    gd = traverse.flatten_dict(jax.grad(dense_loss)(dv))
+    flat_pk = traverse.flatten_dict(self.packings)
+    dense_grads = {p[:-2] + ('kernel',): v for p, v in gd.items()
+                   if p[:-2] + ('kernel',) in flat_pk}
+    df = self.schedule.get_drop_fraction(self.step)
+    out = pt.flax_packed_rigl_update(self.params, self.packings,
+                                     self.opt_state, self.tx, dense_grads,
+                                     df, cfg.block)
+    self.params = out.params
+    self.packings = out.packings
+    self.opt_state = out.opt_state
+    self.last_update_step = self.step
+    self._jit_step = None          # packings changed; re-close the step
+    return out.occupancy
+
+  # --------------------------------------------------------------- eval ----
+  def evaluate(self, tokens: np.ndarray, max_windows: int = 64) -> float:
+    """Mean next-token cross-entropy (nats/token) over non-overlapping
+    seq_len+1 windows of the eval stream."""
+    cfg = self.cfg
+    w = cfg.seq_len + 1
+    n = min(len(tokens) // w, max_windows)
+    if n == 0:
+      return float('nan')
+    wins = np.asarray(tokens[:n * w], np.int32).reshape(n, w)
+    total, count = 0.0, 0
+    for i in range(0, n, cfg.batch_size):
+      chunk = jnp.asarray(wins[i:i + cfg.batch_size])
+      x, y = chunk[:, :-1], chunk[:, 1:]
+      total += float(self._loss(self.params, self.packings, x, y)
+                     ) * x.shape[0]
+      count += int(x.shape[0])
+    return total / count
+
+  # ---------------------------------------------------------------- loop ----
+  def sample_batch(self, tokens: np.ndarray):
+    """Seeded random windows; replayable across resume (batches_seen is
+    checkpointed, like packed_loop's sampler)."""
+    cfg = self.cfg
+    rs = np.random.RandomState(
+        (cfg.seed * 1000003 + self.batches_seen) % (2 ** 31))
+    starts = rs.randint(0, len(tokens) - cfg.seq_len - 1,
+                        size=cfg.batch_size)
+    self.batches_seen += 1
+    wins = np.stack([tokens[s:s + cfg.seq_len + 1] for s in starts]
+                    ).astype(np.int32)
+    return jnp.asarray(wins[:, :-1]), jnp.asarray(wins[:, 1:])
+
+  def train(self, train_tokens: np.ndarray, eval_tokens=None,
+            progress_fn=None, log_every: int = 0) -> Dict[str, Any]:
+    cfg = self.cfg
+    if self.opt_state is None:
+      self.init_state()
+    n_updates = 0
+    loss = float('nan')
+    while self.step < cfg.train_steps:
+      x, y = self.sample_batch(train_tokens)
+      if self.is_update_step(self.step):
+        # RigL consumes a batch without advancing the step counter
+        # (reference skip-apply semantics, sparse_optimizers_base.py).
+        self.mask_update(x, y)
+        n_updates += 1
+        continue
+      loss = self.train_step(x, y)
+      self.step += 1
+      if log_every and self.step % log_every == 0 and progress_fn:
+        progress_fn({'step': self.step, 'loss': loss})
+    flat_p = traverse.flatten_dict(self.params)
+    flat_pk = traverse.flatten_dict(self.packings)
+    n_packed = sum(int(np.prod(v.shape)) for p, v in flat_p.items()
+                   if p in flat_pk)
+    n_dense_equiv = sum(
+        int(np.prod(flat_pk[p]['shape'])) * cfg.block[0] * cfg.block[1]
+        for p in flat_pk)
+    result = {'train_steps': self.step, 'mask_updates': n_updates,
+              'batches': self.batches_seen, 'final_loss': loss,
+              'sparsity': cfg.sparsity,
+              'n_params_packed': n_packed,
+              'n_params_dense_equiv': n_dense_equiv}
+    if eval_tokens is not None:
+      ce = self.evaluate(np.asarray(eval_tokens))
+      result['eval_ce_nats'] = ce
+      result['eval_ppl'] = float(np.exp(min(ce, 30.0)))
+    return result
+
+  # ----------------------------------------------------------------- ckpt ----
+  def save(self, path: str):
+    """Packed params + occupancy grids (packings rebuild deterministically
+    from occupancy + static n_active) + optimizer state + counters."""
+    os.makedirs(path, exist_ok=True)
+    flat = {'step': np.asarray(self.step),
+            'last_update': np.asarray(self.last_update_step),
+            'batches_seen': np.asarray(self.batches_seen)}
+    for p, pk in traverse.flatten_dict(self.packings).items():
+      flat['occ_' + '/'.join(p)] = np.asarray(pt.occupancy_grid(pk))
+    for p, v in traverse.flatten_dict(self.params).items():
+      flat['param_' + '/'.join(p)] = np.asarray(v)
+    leaves, _ = jax.tree.flatten(self.opt_state)
+    for i, leaf in enumerate(leaves):
+      flat[f'opt_{i}'] = np.asarray(leaf)
+    np.savez(os.path.join(path, 'packed_lm_state.npz'), **flat)
+
+  def restore(self, path: str) -> bool:
+    f = os.path.join(path, 'packed_lm_state.npz')
+    if not os.path.exists(f):
+      return False
+    if self.opt_state is None:
+      self.init_state()
+    z = np.load(f)
+    self.step = int(z['step'])
+    self.last_update_step = int(z['last_update'])
+    self.batches_seen = int(z['batches_seen'])
+    flat_pk = traverse.flatten_dict(self.packings)
+    flat_p = traverse.flatten_dict(self.params)
+    new_pk, new_p = {}, {}
+    for p in flat_pk:
+      occ = jnp.asarray(z['occ_' + '/'.join(p)])
+      new_pk[p] = make_packing(occ, int(flat_p[p].shape[0]))
+    for p in flat_p:
+      new_p[p] = jnp.asarray(z['param_' + '/'.join(p)])
+    self.packings = traverse.unflatten_dict(new_pk)
+    self.params = traverse.unflatten_dict(new_p)
+    leaves, treedef = jax.tree.flatten(self.opt_state)
+    self.opt_state = jax.tree.unflatten(
+        treedef, [jnp.asarray(z[f'opt_{i}']) for i in range(len(leaves))])
+    self._jit_step = None
+    return True

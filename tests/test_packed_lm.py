@@ -1,0 +1,52 @@
+"""PackedLMTrainer: end-to-end LM training on packed transformer storage —
+learns, survives RigL updates, and resumes deterministically."""
+
+import numpy as np
+
+from rigl_tpu.drivers.packed_lm import synthetic_stream
+from rigl_tpu.train.packed_lm import PackedLMConfig, PackedLMTrainer
+
+CFG = dict(vocab_size=64, num_layers=1, d_model=64, d_ff=128, num_heads=4,
+           seq_len=32, sparsity=0.5, block=(16, 16), bm=32,
+           learning_rate=3e-3, warmup_steps=5, batch_size=4,
+           maskupdate_begin_step=0, maskupdate_end_step=40,
+           maskupdate_frequency=20, seed=0)
+
+
+def test_packed_lm_trains_and_updates():
+  tokens = synthetic_stream(6000, seed=0)
+  tr = PackedLMTrainer(PackedLMConfig(train_steps=60, **CFG))
+  losses = []
+  res = tr.train(tokens, eval_tokens=tokens[-2000:],
+                 progress_fn=lambda m: losses.append(m['loss']),
+                 log_every=10)
+  assert res['mask_updates'] >= 2
+  assert res['batches'] == res['train_steps'] + res['mask_updates']
+  # ln(64) = 4.16 is the uniform floor-less baseline; the stream is 90%
+  # deterministic so even a tiny model should beat it clearly.
+  assert res['final_loss'] < 3.6, res
+  assert res['eval_ce_nats'] < 3.8, res
+  assert res['n_params_packed'] < 0.6 * res['n_params_dense_equiv']
+
+
+def test_packed_lm_resume_is_deterministic(tmp_path):
+  tokens = synthetic_stream(6000, seed=1)
+  cfg_a = PackedLMConfig(train_steps=50, **CFG)
+  a = PackedLMTrainer(cfg_a)
+  a.train(tokens)
+
+  b = PackedLMTrainer(PackedLMConfig(train_steps=25, **CFG))
+  b.train(tokens)
+  b.save(str(tmp_path))
+  c = PackedLMTrainer(cfg_a)
+  assert c.restore(str(tmp_path))
+  assert c.step == b.step
+  res_c = c.train(tokens)
+  assert res_c['batches'] == a.batches_seen
+
+  import flax.traverse_util as traverse
+  fa = traverse.flatten_dict(a.params)
+  fc = traverse.flatten_dict(c.params)
+  for p in fa:
+    np.testing.assert_array_equal(np.asarray(fa[p]), np.asarray(fc[p]),
+                                  err_msg='/'.join(p))
