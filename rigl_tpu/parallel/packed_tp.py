@@ -1,0 +1,213 @@
+"""Tensor-parallel PACKED block-sparse matmuls: column-group sharding.
+
+The packed representation (ops/pallas/block_sparse_packed.py) stores a
+weight matrix as its active blocks `(n_active, bk, bn)`.  This module
+shards that storage over the mesh's 'model' axis by OUTPUT-COLUMN GROUPS:
+the nn block-columns are split into `n_model` contiguous groups, and each
+device holds only its group's active blocks plus a local packing over its
+(nk, nn_local) occupancy sub-grid.  Consequences, per shard:
+
+  * fwd needs NO collective — a column group's outputs depend only on its
+    own blocks (x is replicated over 'model', usually sharded over 'data');
+  * dx is a partial sum over the shard's columns → one psum over 'model';
+  * dw is local (each shard owns its blocks' gradients and optimizer
+    slots) — optimizer state is sharded for free.
+
+Static shapes under SPMD require every shard to hold the SAME number of
+active blocks.  Two pieces make that an invariant rather than a hope:
+
+  * `balanced_block_mask` draws the initial occupancy with EXACTLY
+    n_active / n_model active blocks per column group;
+  * `tp_drop_grow` runs the bit-exact drop/grow kernel
+    (sparsity/update.py, transcribing the reference
+    sparse_optimizers_base.py:276-343) INDEPENDENTLY PER GROUP, so each
+    group's count is preserved by the kernel's floor arithmetic.  With
+    n_model=1 this is exactly `packed_drop_grow` (tested); with n_model>1
+    the drop/grow competition is per column group — the TP-balanced
+    variant of RigL's per-layer competition (the reference already
+    partitions the competition by layer; this partitions one step
+    further, along the axis the hardware shards).
+
+The reference's only parallelism is data-parallel `CrossShardOptimizer`
+(imagenet_train_eval.py:363-365); tensor parallelism of sparse storage has
+no counterpart there — it exists here because packed storage makes the
+weight shard a real memory/compute win, not a notional one.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rigl_tpu.ops.pallas.block_sparse_packed import (Packing, make_packing,
+                                                     pack_dense,
+                                                     packed_matmul,
+                                                     unpack_dense)
+from rigl_tpu.transforms import packed_training as pt
+
+
+# ----------------------------------------------------------- occupancy ----
+def balanced_block_mask(rs: np.random.RandomState, nk: int, nn: int,
+                        n_active: int, n_model: int) -> np.ndarray:
+  """(nk, nn) int32 occupancy with exactly n_active/n_model active blocks
+  in each of the n_model contiguous column groups."""
+  if nn % n_model or n_active % n_model:
+    raise ValueError(f'nn={nn} and n_active={n_active} must divide '
+                     f'n_model={n_model}')
+  nn_local, cap = nn // n_model, n_active // n_model
+  if cap > nk * nn_local:
+    raise ValueError(f'cap={cap} exceeds group capacity {nk * nn_local}')
+  occ = np.zeros((nk, nn), np.int32)
+  for g in range(n_model):
+    flat = np.zeros(nk * nn_local, np.int32)
+    flat[rs.choice(nk * nn_local, size=cap, replace=False)] = 1
+    occ[:, g * nn_local:(g + 1) * nn_local] = flat.reshape(nk, nn_local)
+  return occ
+
+
+# ------------------------------------------------------------- packing ----
+def make_tp_packing(occ, n_model: int) -> Packing:
+  """Per-group packings stacked on a leading axis (n_model, n_entries):
+  a Packing whose fwd/bwd arrays carry one row per column group, ready to
+  shard with PartitionSpec('model') and unstacked inside shard_map via
+  `local_packing`.  `shape` is the LOCAL grid (nk, nn_local)."""
+  occ = np.asarray(occ)
+  nk, nn = occ.shape
+  if nn % n_model:
+    raise ValueError(f'nn={nn} must divide n_model={n_model}')
+  nn_local = nn // n_model
+  groups = [occ[:, g * nn_local:(g + 1) * nn_local] for g in range(n_model)]
+  counts = [int(g.sum()) for g in groups]
+  if len(set(counts)) != 1:
+    raise ValueError(f'unbalanced occupancy across column groups: {counts} '
+                     '(use balanced_block_mask / tp_drop_grow)')
+  pks = [make_packing(jnp.asarray(g), counts[0]) for g in groups]
+  fwd = tuple(jnp.stack([pk.fwd[i] for pk in pks]) for i in range(4))
+  bwd = tuple(jnp.stack([pk.bwd[i] for pk in pks]) for i in range(4))
+  return Packing(fwd, bwd, (nk, nn_local))
+
+
+def local_packing(tp_pk: Packing, g=None) -> Packing:
+  """Row `g` (default: the shard-local row 0 inside shard_map) of a
+  stacked TP packing, as an ordinary Packing."""
+  idx = 0 if g is None else g
+  return Packing(tuple(a[idx] for a in tp_pk.fwd),
+                 tuple(a[idx] for a in tp_pk.bwd), tp_pk.shape)
+
+
+def n_groups(tp_pk: Packing) -> int:
+  return int(tp_pk.fwd[0].shape[0])
+
+
+def cap_of(tp_pk: Packing) -> int:
+  """Static per-group active-block count."""
+  return int(tp_pk.fwd[0].shape[1]) - tp_pk.shape[1]
+
+
+def pack_dense_tp(w, tp_pk: Packing, block: Tuple[int, int]):
+  """Dense (K, N) -> stacked packed (n_model, cap, bk, bn)."""
+  nm = n_groups(tp_pk)
+  nn_local = tp_pk.shape[1]
+  cols = nn_local * block[1]
+  return jnp.stack([
+      pack_dense(w[:, g * cols:(g + 1) * cols], local_packing(tp_pk, g),
+                 block) for g in range(nm)])
+
+
+def unpack_dense_tp(packed, tp_pk: Packing, block: Tuple[int, int],
+                    dtype=None):
+  """Stacked packed (n_model, cap, bk, bn) -> dense (K, N)."""
+  nm = n_groups(tp_pk)
+  return jnp.concatenate([
+      unpack_dense(packed[g], local_packing(tp_pk, g), block, dtype)
+      for g in range(nm)], axis=1)
+
+
+# -------------------------------------------------------------- matmul ----
+def tp_packed_matmul(x, w_local, tp_pk_local, block: Tuple[int, int],
+                     bm: int = 512, interpret=None):
+  """Shard-local y = x @ W_group inside shard_map: w_local and tp_pk_local
+  are the shard's slices (leading axis 1) of the stacked packed weights
+  and TP packing; returns the shard's (m, nn_local*bn) output columns.
+  No collective — concatenating over 'model' IS the full product.  The
+  caller psums dx over 'model' (see tests/test_packed_tp.py for the
+  train-step pattern)."""
+  return packed_matmul(x, w_local[0], local_packing(tp_pk_local), block, bm,
+                       interpret)
+
+
+# ----------------------------------------------------------- drop/grow ----
+class TPUpdateResult(NamedTuple):
+  packed: jnp.ndarray          # (n_model, cap, bk, bn), grown slots zeroed
+  packing: Packing             # new stacked TP packing
+  grown: jnp.ndarray           # (n_model, cap) bool — slots that are NEW
+  perm: jnp.ndarray            # (n_model, cap) within-group repack gather
+  occupancy: jnp.ndarray       # new global (nk, nn) grid
+
+
+def tp_drop_grow(packed, tp_pk: Packing, grow_grid,
+                 drop_fraction) -> TPUpdateResult:
+  """One RigL drop/grow on TP-sharded packed storage, per column group.
+
+  Args:
+    packed: stacked (n_model, cap, bk, bn) packed weights (global view —
+      run this OUTSIDE shard_map; update steps are off the hot path).
+    tp_pk: stacked TP packing.
+    grow_grid: (nk, nn) block-pooled |dense grad| scores (global grid).
+    drop_fraction: traced scalar.
+  """
+  from rigl_tpu.ops.pallas.block_sparse_packed import repack_permutation
+
+  nm = n_groups(tp_pk)
+  nk, nn_local = tp_pk.shape
+  cap = cap_of(tp_pk)
+  new_packed, grown_rows, occ_cols, perm_rows = [], [], [], []
+  fwd_rows, bwd_rows = [], []
+  for g in range(nm):
+    lpk = local_packing(tp_pk, g)
+    grid_g = grow_grid[:, g * nn_local:(g + 1) * nn_local]
+    out = pt.packed_drop_grow(packed[g], lpk, grid_g, drop_fraction, cap)
+    new_packed.append(out.packed)
+    grown_rows.append(out.grown)
+    occ_cols.append(out.occupancy)
+    perm_rows.append(repack_permutation(lpk, out.packing))
+    fwd_rows.append(out.packing.fwd)
+    bwd_rows.append(out.packing.bwd)
+  new_pk = Packing(
+      tuple(jnp.stack([r[i] for r in fwd_rows]) for i in range(4)),
+      tuple(jnp.stack([r[i] for r in bwd_rows]) for i in range(4)),
+      (nk, nn_local))
+  return TPUpdateResult(jnp.stack(new_packed), new_pk,
+                        jnp.stack(grown_rows), jnp.stack(perm_rows),
+                        jnp.concatenate(occ_cols, axis=1))
+
+
+def tp_fix_opt_state(tx, opt_state, perm_tree, grown_tree):
+  """Carry optimizer slots of TP-stacked packed weights through a repack:
+  per-group gather of surviving blocks' slots, zeros at grown ones — the
+  same momentum-follow/reset contract as packed_rigl_update
+  (sparse_optimizers_base.py:336-343 semantics), applied along axis 1 of
+  every (n_model, cap, ...) leaf via optax.tree_map_params.
+
+  perm_tree / grown_tree mirror the params structure tx was init'd with
+  ((n_model, cap) arrays at packed leaves; 0-size sentinels at dense
+  leaves pass slots through untouched, as packed_rigl_update does)."""
+  import optax
+
+  def fix(leaf, perm, grown):
+    if (getattr(grown, 'ndim', 0) == 2 and grown.shape[0] > 0
+        and hasattr(leaf, 'shape') and getattr(leaf, 'ndim', 0) >= 2
+        and leaf.shape[:2] == grown.shape):
+      nm, cap = grown.shape
+      src = jnp.take_along_axis(
+          leaf, jnp.maximum(perm, 0).reshape(
+              (nm, cap) + (1,) * (leaf.ndim - 2)), axis=1)
+      pad = (1,) * (leaf.ndim - 2)
+      return jnp.where(grown.reshape((nm, cap) + pad),
+                       jnp.zeros_like(src), src)
+    return leaf
+
+  return optax.tree_map_params(tx, fix, opt_state, perm_tree, grown_tree)
