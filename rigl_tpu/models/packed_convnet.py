@@ -1,0 +1,128 @@
+"""Conv nets on PACKED block-sparse storage, at depth.
+
+Architecture follows the reference's MobileNet-v1 sparsity structure
+(/root/reference/rigl/imagenet_resnet/mobilenetv1_model.py:43,156-221):
+the 3x3 depthwise convs stay DENSE (the reference's
+depthwise_conv2d_fixed_padding has no pruning arg) and every 1x1
+pointwise contraction is the sparse mass — here a PackedConv1x1, so its
+weights, gradients, and optimizer slots live as `(n_active, bk, bn)`
+packed blocks in O(density) memory and execute on the block-skipping
+packed kernels.  Stem (3x3 full conv), depthwise kernels, norms, and the
+classifier head stay dense, like the reference's unpruned layers.
+
+GroupNorm replaces BatchNorm so the model is stateless (no batch_stats
+collection) — the packed training loops (train/packed_classifier.py)
+keep a single 'params' + 'packing' pair like the transformer family.
+
+`DenseConvNet` is the equal-architecture dense twin: each pointwise conv
+is a `_Dense2D` child named 'd', so a packed kernel at (..., 'kernel')
+maps to the twin's (..., 'd', 'kernel') — the same convention
+train/packed_lm.py's `dense_twin_params` uses for the transformer.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from rigl_tpu.layers.packed_conv import PackedConv1x1
+
+
+class _DensePointwise(nn.Module):
+  """Dense twin of PackedConv1x1: strided spatial subsample + matmul.
+  The kernel lives at child 'd' as the (cin, cout) matrix unpack_dense
+  produces, so packed (..., 'kernel') maps to (..., 'd', 'kernel')."""
+  features: int
+  strides: Tuple[int, int] = (1, 1)
+  dtype: Any = jnp.float32
+
+  @nn.compact
+  def __call__(self, x):
+    sh, sw = self.strides
+    if sh != 1 or sw != 1:
+      x = x[:, ::sh, ::sw, :]
+    b, h, w, cin = x.shape
+    y = nn.Dense(self.features, use_bias=False, dtype=self.dtype,
+                 param_dtype=self.dtype, name='d')(x.reshape(b * h * w, cin))
+    return y.reshape(b, h, w, self.features)
+
+
+class _Stage(nn.Module):
+  """MobileNet-v1 block: dense depthwise 3x3 (stride lives in the
+  pointwise subsample, like PackedConv1x1's) + GN/relu + pointwise
+  (packed or dense twin) + GN/relu."""
+  features: int
+  strides: Tuple[int, int]
+  make_pointwise: Any          # (features, strides, name) -> nn.Module
+  dtype: Any = jnp.float32
+
+  @nn.compact
+  def __call__(self, x):
+    cin = x.shape[-1]
+    x = nn.Conv(cin, (3, 3), padding='SAME', feature_group_count=cin,
+                use_bias=False, dtype=self.dtype, name='dw')(x)
+    x = nn.GroupNorm(num_groups=min(8, cin), dtype=self.dtype,
+                     name='gn1')(x)
+    x = nn.relu(x)
+    x = self.make_pointwise(self.features, self.strides, 'pw')(x)
+    x = nn.GroupNorm(num_groups=min(8, self.features), dtype=self.dtype,
+                     name='gn2')(x)
+    return nn.relu(x)
+
+
+def _backbone(x, stem_width, stages, make_pointwise, num_classes, dtype):
+  x = nn.Conv(stem_width, (3, 3), padding='SAME', use_bias=False,
+              dtype=dtype, name='stem')(x)
+  x = nn.GroupNorm(num_groups=min(8, stem_width), dtype=dtype,
+                   name='gn_stem')(x)
+  x = nn.relu(x)
+  for i, (features, stride) in enumerate(stages):
+    x = _Stage(features, (stride, stride), make_pointwise, dtype,
+               name=f'stage{i}')(x)
+  x = jnp.mean(x, axis=(1, 2))
+  return nn.Dense(num_classes, dtype=dtype, name='head')(x)
+
+
+class PackedConvNet(nn.Module):
+  """Depthwise-separable conv classifier whose pointwise convs are packed
+  block-sparse.  `stages`: (features, stride) per block."""
+  num_classes: int = 10
+  stem_width: int = 32
+  stages: Sequence[Tuple[int, int]] = ((64, 2), (128, 2), (128, 1))
+  sparsity: float = 0.8
+  block: Tuple[int, int] = (16, 16)
+  bm: int = 128
+  dtype: Any = jnp.float32
+
+  @nn.compact
+  def __call__(self, x):
+    sparsity, block, bm, dtype = (self.sparsity, self.block, self.bm,
+                                  self.dtype)
+
+    def pointwise(features, strides, name):
+      return PackedConv1x1(features, sparsity=sparsity, block=block, bm=bm,
+                           strides=strides, use_bias=False, dtype=dtype,
+                           name=name)
+
+    return _backbone(x, self.stem_width, self.stages, pointwise,
+                     self.num_classes, self.dtype)
+
+
+class DenseConvNet(nn.Module):
+  """Equal-architecture dense twin (see module docstring)."""
+  num_classes: int = 10
+  stem_width: int = 32
+  stages: Sequence[Tuple[int, int]] = ((64, 2), (128, 2), (128, 1))
+  dtype: Any = jnp.float32
+
+  @nn.compact
+  def __call__(self, x):
+    dtype = self.dtype
+
+    def pointwise(features, strides, name):
+      return _DensePointwise(features, strides, dtype, name=name)
+
+    return _backbone(x, self.stem_width, self.stages, pointwise,
+                     self.num_classes, self.dtype)

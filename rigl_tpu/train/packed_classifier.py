@@ -1,0 +1,192 @@
+"""Image-classification training loop on PACKED block-sparse storage.
+
+The conv-family counterpart of train/packed_lm.py: a PackedConvNet (or any
+flax classifier whose sparse kernels are PackedDense/PackedConv1x1) trains
+with weights, gradients, and optimizer slots in O(density) packed memory,
+RigL drop/grow running ON packed storage through
+transforms/packed_training.flax_packed_rigl_update, and the dense-gradient
+grow score computed lazily at update steps via the model's dense twin
+(the reference's grow-score contract, sparse_optimizers_base.py:328-334;
+update-step-only dense views mirror its amortized mask-update cost).
+
+RigL's skip-apply semantics are preserved: a mask-update iteration
+consumes a batch WITHOUT advancing the step counter
+(sparse_optimizers_base.py:487-521), so `batches == steps + updates`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import flax.traverse_util as traverse
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from rigl_tpu.sparsity.schedules import UpdateSchedule
+from rigl_tpu.train.packed_lm import dense_twin_params
+from rigl_tpu.transforms import packed_training as pt
+
+
+@dataclasses.dataclass
+class PackedClassifierConfig:
+  sparsity: float = 0.8
+  block: Tuple[int, int] = (16, 16)
+  learning_rate: float = 0.05
+  momentum: float = 0.9
+  train_steps: int = 1000
+  batch_size: int = 100
+  maskupdate_begin_step: int = 0
+  maskupdate_end_step: int = 750
+  maskupdate_frequency: int = 100
+  drop_fraction: float = 0.3
+  drop_fraction_anneal: str = 'cosine'
+  seed: int = 0
+
+
+class PackedClassifierTrainer:
+  """init / step / RigL update / eval for (model, dense_twin) pairs whose
+  sparse kernels live in the 'packing' collection (PackedConvNet and
+  friends).  All packed shapes are static across the run."""
+
+  def __init__(self, model, dense_twin, cfg: PackedClassifierConfig,
+               input_shape: Tuple[int, ...]):
+    self.model = model
+    self.dense_twin = dense_twin
+    self.cfg = cfg
+    self.input_shape = tuple(input_shape)
+    self.tx = optax.sgd(cfg.learning_rate, momentum=cfg.momentum,
+                        nesterov=True)
+    self.schedule = UpdateSchedule(
+        cfg.maskupdate_begin_step, cfg.maskupdate_end_step,
+        cfg.maskupdate_frequency, cfg.drop_fraction,
+        cfg.drop_fraction_anneal)
+    self.last_update_step = self.schedule.initial_last_update_step
+    self.params = None
+    self.packings = None
+    self.opt_state = None
+    self.step = 0
+    self.batches_seen = 0
+    self._jit_step = None
+
+  def init_state(self):
+    cfg = self.cfg
+    dummy = jnp.zeros((1,) + self.input_shape, jnp.float32)
+    variables = self.model.init(jax.random.key(cfg.seed), dummy)
+    self.params = variables['params']
+    self.packings = variables.get('packing', {})
+    self.opt_state = self.tx.init(self.params)
+    self.step = 0
+    self.batches_seen = 0
+    self.last_update_step = self.schedule.initial_last_update_step
+    self._jit_step = None
+
+  # -------------------------------------------------------------- loss ----
+  def _loss(self, params, packings, x, y):
+    lg = self.model.apply({'params': params, 'packing': packings}, x)
+    ll = jax.nn.log_softmax(lg.astype(jnp.float32))
+    return -jnp.mean(ll[jnp.arange(y.shape[0]), y])
+
+  def _make_jit_step(self):
+    packings = self.packings
+
+    @jax.jit
+    def step_fn(params, opt_state, x, y):
+      loss, g = jax.value_and_grad(
+          lambda p: self._loss(p, packings, x, y))(params)
+      updates, opt_state = self.tx.update(g, opt_state, params)
+      return optax.apply_updates(params, updates), opt_state, loss
+
+    return step_fn
+
+  def train_step(self, x, y) -> float:
+    if self._jit_step is None:
+      self._jit_step = self._make_jit_step()
+    self.params, self.opt_state, loss = self._jit_step(
+        self.params, self.opt_state, x, y)
+    return float(loss)
+
+  def is_update_step(self, step: int) -> bool:
+    return bool(self.schedule.is_update_iter(step, self.last_update_step))
+
+  def mask_update(self, x, y):
+    cfg = self.cfg
+    dv = dense_twin_params(self.params, self.packings, cfg.block)
+
+    def dense_loss(dv):
+      lg = self.dense_twin.apply({'params': dv}, x).astype(jnp.float32)
+      ll = jax.nn.log_softmax(lg)
+      return -jnp.mean(ll[jnp.arange(y.shape[0]), y])
+
+    gd = traverse.flatten_dict(jax.grad(dense_loss)(dv))
+    flat_pk = traverse.flatten_dict(self.packings)
+    dense_grads = {p[:-2] + ('kernel',): v for p, v in gd.items()
+                   if p[:-2] + ('kernel',) in flat_pk}
+    df = self.schedule.get_drop_fraction(self.step)
+    out = pt.flax_packed_rigl_update(self.params, self.packings,
+                                     self.opt_state, self.tx, dense_grads,
+                                     df, cfg.block)
+    self.params = out.params
+    self.packings = out.packings
+    self.opt_state = out.opt_state
+    self.last_update_step = self.step
+    self._jit_step = None
+    return out.occupancy
+
+  # --------------------------------------------------------------- eval ----
+  def evaluate(self, x: np.ndarray, y: np.ndarray) -> float:
+    correct = 0
+    bs = self.cfg.batch_size
+    apply = jax.jit(lambda p, xb: self.model.apply(
+        {'params': p, 'packing': self.packings}, xb))
+    for i in range(0, len(x), bs):
+      xb = jnp.asarray(x[i:i + bs])
+      lg = apply(self.params, xb)
+      correct += int(np.sum(np.argmax(np.asarray(lg), -1)
+                            == y[i:i + len(xb)]))
+    return correct / len(x)
+
+  # ---------------------------------------------------------------- loop ----
+  def sample_batch(self, x: np.ndarray, y: np.ndarray):
+    cfg = self.cfg
+    rs = np.random.RandomState(
+        (cfg.seed * 1000003 + self.batches_seen) % (2 ** 31))
+    idx = rs.randint(0, len(x), size=cfg.batch_size)
+    self.batches_seen += 1
+    return jnp.asarray(x[idx]), jnp.asarray(y[idx])
+
+  def train(self, train_xy, eval_xy: Optional[tuple] = None,
+            progress_fn=None, log_every: int = 0) -> Dict[str, Any]:
+    cfg = self.cfg
+    if self.opt_state is None:
+      self.init_state()
+    xtr, ytr = train_xy
+    n_updates = 0
+    loss = float('nan')
+    while self.step < cfg.train_steps:
+      x, y = self.sample_batch(xtr, ytr)
+      if self.is_update_step(self.step):
+        self.mask_update(x, y)
+        n_updates += 1
+        continue
+      loss = self.train_step(x, y)
+      self.step += 1
+      if log_every and self.step % log_every == 0 and progress_fn:
+        progress_fn({'step': self.step, 'loss': loss})
+    flat_p = traverse.flatten_dict(self.params)
+    flat_pk = traverse.flatten_dict(self.packings)
+    n_packed = sum(int(np.prod(v.shape)) for p, v in flat_p.items()
+                   if p in flat_pk)
+    n_dense_equiv = sum(
+        int(np.prod(flat_pk[p]['shape'])) * cfg.block[0] * cfg.block[1]
+        for p in flat_pk)
+    result = {'train_steps': self.step, 'mask_updates': n_updates,
+              'batches': self.batches_seen, 'final_loss': loss,
+              'sparsity': cfg.sparsity,
+              'n_params_packed': n_packed,
+              'n_params_dense_equiv': n_dense_equiv}
+    if eval_xy is not None:
+      result['eval_top_1'] = self.evaluate(*eval_xy)
+    return result
