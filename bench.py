@@ -7,7 +7,7 @@ Prints one JSON line:
 vs_baseline > 1.0 means the sparse step is faster than the dense step; the
 north-star target is sparse step time <= 0.6x dense (vs_baseline >= 1.667).
 
-Two workloads (BENCH_WORKLOAD):
+Three workloads (BENCH_WORKLOAD):
   mlp (default)  — 3x4096 MLP train step, PACKED block-sparse storage
       (weights/grads/momentum all (n_active, bk, bn)) vs an equal-dtype
       dense baseline.  This is the compute-bound regime where weight
@@ -20,6 +20,10 @@ Two workloads (BENCH_WORKLOAD):
       implementation also runs dense-speed math under masks).  Sparse
       training at dense speed with O(density) checkpoint export is the
       honest RN50 result.
+  transformer — 2-layer decoder (d_model 2048, d_ff 8192, seq 512) with
+      every parameter matmul on packed storage vs the equal-dtype dense
+      twin; attention/LN mass dense in both arms.  Measured r2: 1.68x
+      gross at s=0.8, 2.10x at s=0.9 (PERF.md session 5).
 
 Runs on whatever jax.default_backend() provides (real TPU under the driver);
 scales shapes down automatically on CPU so it stays runnable anywhere.
@@ -94,6 +98,38 @@ def main_mlp():
       'value': round(t_dense / t_sparse, 4),
       'unit': 'x dense (gross step ratio)',
       'vs_baseline': round(t_dense / t_sparse, 4),
+  }
+  print(json.dumps(result))
+
+
+def main_transformer():
+  """BENCH_WORKLOAD=transformer: packed block-sparse transformer train
+  step vs its dense twin (scripts/bench_packed_transformer.py) — the
+  compute-bound demonstration on the model family production cares
+  about.  Attention math and LayerNorms are dense in BOTH arms, so the
+  gross ratio honestly carries the mass weight sparsity cannot touch."""
+  import jax
+  sparsity = float(os.environ.get('BENCH_SPARSITY', '0.8'))
+  os.environ.setdefault('TR_SPARSITY', str(sparsity))
+  if jax.default_backend() == 'cpu':
+    # Interpret-mode pallas on the 1-core box: shrink to a smoke size.
+    os.environ.setdefault('TR_D_MODEL', '256')
+    os.environ.setdefault('TR_D_FF', '512')
+    os.environ.setdefault('TR_SEQ', '64')
+    os.environ.setdefault('TR_BATCH', '2')
+    os.environ.setdefault('TR_ITERS', '2')
+    os.environ.setdefault('TR_BLOCK', '128,128')
+    os.environ.setdefault('TR_BM', '128')
+  sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+  from scripts import bench_packed_transformer as b
+  t_dense, t_packed = b.main()
+  result = {
+      'metric': (f'transformer{b.LAYERS}x{b.D_MODEL}'
+                 f'_packed{int(float(os.environ["TR_SPARSITY"]) * 100)}'
+                 '_train_step_speedup_vs_dense'),
+      'value': round(t_dense / t_packed, 4),
+      'unit': 'x dense (gross step ratio)',
+      'vs_baseline': round(t_dense / t_packed, 4),
   }
   print(json.dumps(result))
 
@@ -213,7 +249,10 @@ def main():
 
 
 if __name__ == '__main__':
-  if os.environ.get('BENCH_WORKLOAD', 'mlp') == 'mlp':
+  _workload = os.environ.get('BENCH_WORKLOAD', 'mlp')
+  if _workload == 'mlp':
     main_mlp()
+  elif _workload == 'transformer':
+    main_transformer()
   else:
     main()
