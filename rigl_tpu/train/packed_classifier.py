@@ -70,6 +70,7 @@ class PackedClassifierTrainer:
     self.step = 0
     self.batches_seen = 0
     self._jit_step = None
+    self._jit_update = None
 
   def init_state(self):
     cfg = self.cfg
@@ -82,6 +83,7 @@ class PackedClassifierTrainer:
     self.batches_seen = 0
     self.last_update_step = self.schedule.initial_last_update_step
     self._jit_step = None
+    self._jit_update = None
 
   # -------------------------------------------------------------- loss ----
   def _loss(self, params, packings, x, y):
@@ -90,10 +92,10 @@ class PackedClassifierTrainer:
     return -jnp.mean(ll[jnp.arange(y.shape[0]), y])
 
   def _make_jit_step(self):
-    packings = self.packings
-
+    # Packings ride as TRACED args (Packing is a registered pytree), so
+    # drop/grow never recompiles the step — see train/packed_lm.py.
     @jax.jit
-    def step_fn(params, opt_state, x, y):
+    def step_fn(params, packings, opt_state, x, y):
       loss, g = jax.value_and_grad(
           lambda p: self._loss(p, packings, x, y))(params)
       updates, opt_state = self.tx.update(g, opt_state, params)
@@ -105,35 +107,45 @@ class PackedClassifierTrainer:
     if self._jit_step is None:
       self._jit_step = self._make_jit_step()
     self.params, self.opt_state, loss = self._jit_step(
-        self.params, self.opt_state, x, y)
+        self.params, self.packings, self.opt_state, x, y)
     return float(loss)
 
   def is_update_step(self, step: int) -> bool:
     return bool(self.schedule.is_update_iter(step, self.last_update_step))
 
-  def mask_update(self, x, y):
+  def _make_jit_update(self):
+    """The whole drop/grow update as ONE jitted program, drop_fraction
+    traced — one compile per run (see train/packed_lm.py)."""
     cfg = self.cfg
-    dv = dense_twin_params(self.params, self.packings, cfg.block)
 
-    def dense_loss(dv):
-      lg = self.dense_twin.apply({'params': dv}, x).astype(jnp.float32)
-      ll = jax.nn.log_softmax(lg)
-      return -jnp.mean(ll[jnp.arange(y.shape[0]), y])
+    @jax.jit
+    def update_fn(params, packings, opt_state, x, y, df):
+      dv = dense_twin_params(params, packings, cfg.block)
 
-    gd = traverse.flatten_dict(jax.grad(dense_loss)(dv))
-    flat_pk = traverse.flatten_dict(self.packings)
-    dense_grads = {p[:-2] + ('kernel',): v for p, v in gd.items()
-                   if p[:-2] + ('kernel',) in flat_pk}
+      def dense_loss(dv):
+        lg = self.dense_twin.apply({'params': dv}, x).astype(jnp.float32)
+        ll = jax.nn.log_softmax(lg)
+        return -jnp.mean(ll[jnp.arange(y.shape[0]), y])
+
+      gd = traverse.flatten_dict(jax.grad(dense_loss)(dv))
+      flat_pk = traverse.flatten_dict(packings)
+      dense_grads = {p[:-2] + ('kernel',): v for p, v in gd.items()
+                     if p[:-2] + ('kernel',) in flat_pk}
+      out = pt.flax_packed_rigl_update(params, packings, opt_state,
+                                       self.tx, dense_grads, df, cfg.block)
+      return out.params, out.packings, out.opt_state, out.occupancy
+
+    return update_fn
+
+  def mask_update(self, x, y):
+    if self._jit_update is None:
+      self._jit_update = self._make_jit_update()
     df = self.schedule.get_drop_fraction(self.step)
-    out = pt.flax_packed_rigl_update(self.params, self.packings,
-                                     self.opt_state, self.tx, dense_grads,
-                                     df, cfg.block)
-    self.params = out.params
-    self.packings = out.packings
-    self.opt_state = out.opt_state
+    self.params, self.packings, self.opt_state, occ = self._jit_update(
+        self.params, self.packings, self.opt_state, x, y, jnp.float32(df))
     self.last_update_step = self.step
-    self._jit_step = None
-    return out.occupancy
+    # No jit-step reset: packings are traced args, shapes are static.
+    return occ
 
   # --------------------------------------------------------------- eval ----
   def evaluate(self, x: np.ndarray, y: np.ndarray) -> float:

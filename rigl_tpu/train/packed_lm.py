@@ -112,6 +112,7 @@ class PackedLMTrainer:
     self.step = 0
     self.batches_seen = 0
     self._jit_step = None
+    self._jit_update = None
 
   # ------------------------------------------------------------- state ----
   def init_state(self):
@@ -125,6 +126,7 @@ class PackedLMTrainer:
     self.batches_seen = 0
     self.last_update_step = self.schedule.initial_last_update_step
     self._jit_step = None
+    self._jit_update = None
 
   # -------------------------------------------------------------- loss ----
   def _loss(self, params, packings, x, y):
@@ -137,10 +139,12 @@ class PackedLMTrainer:
 
   # -------------------------------------------------------------- steps ----
   def _make_jit_step(self):
-    packings = self.packings
-
+    # Packings ride as TRACED args (Packing is a registered pytree whose
+    # only static aux is the grid shape), so drop/grow — which changes
+    # block coordinates but never array shapes — does NOT recompile the
+    # step.  One compile per run, even over the slow remote-TPU tunnel.
     @jax.jit
-    def step_fn(params, opt_state, x, y):
+    def step_fn(params, packings, opt_state, x, y):
       loss, g = jax.value_and_grad(
           lambda p: self._loss(p, packings, x, y))(params)
       updates, opt_state = self.tx.update(g, opt_state, params)
@@ -152,40 +156,53 @@ class PackedLMTrainer:
     if self._jit_step is None:
       self._jit_step = self._make_jit_step()
     self.params, self.opt_state, loss = self._jit_step(
-        self.params, self.opt_state, x, y)
+        self.params, self.packings, self.opt_state, x, y)
     return float(loss)
 
   def is_update_step(self, step: int) -> bool:
     return bool(self.schedule.is_update_iter(step, self.last_update_step))
 
+  def _make_jit_update(self):
+    """The WHOLE drop/grow update as one jitted program (dense-twin grads +
+    flax_packed_rigl_update are jit-traceable with static shapes), with
+    drop_fraction traced — one compile for the whole run even over the
+    remote-TPU tunnel, instead of per-primitive eager dispatch."""
+    cfg = self.cfg
+
+    @jax.jit
+    def update_fn(params, packings, opt_state, x, y, df):
+      dv = dense_twin_params(params, packings, cfg.block)
+
+      def dense_loss(dv):
+        lg = self.dense_twin.apply({'params': dv}, x).astype(jnp.float32)
+        b, s = y.shape
+        ll = jax.nn.log_softmax(lg)[jnp.arange(b)[:, None],
+                                    jnp.arange(s)[None, :], y]
+        return -jnp.mean(ll)
+
+      gd = traverse.flatten_dict(jax.grad(dense_loss)(dv))
+      flat_pk = traverse.flatten_dict(packings)
+      dense_grads = {p[:-2] + ('kernel',): v for p, v in gd.items()
+                     if p[:-2] + ('kernel',) in flat_pk}
+      out = pt.flax_packed_rigl_update(params, packings, opt_state,
+                                       self.tx, dense_grads, df, cfg.block)
+      return out.params, out.packings, out.opt_state, out.occupancy
+
+    return update_fn
+
   def mask_update(self, x, y):
     """RigL drop/grow on every packed kernel: dense grads (inactive blocks
     included) via the dense twin, drop by packed block |w| sums, slot
     permutation + grown-slot reset through optax.tree_map_params."""
-    cfg = self.cfg
-    dv = dense_twin_params(self.params, self.packings, cfg.block)
-
-    def dense_loss(dv):
-      lg = self.dense_twin.apply({'params': dv}, x).astype(jnp.float32)
-      b, s = y.shape
-      ll = jax.nn.log_softmax(lg)[jnp.arange(b)[:, None],
-                                  jnp.arange(s)[None, :], y]
-      return -jnp.mean(ll)
-
-    gd = traverse.flatten_dict(jax.grad(dense_loss)(dv))
-    flat_pk = traverse.flatten_dict(self.packings)
-    dense_grads = {p[:-2] + ('kernel',): v for p, v in gd.items()
-                   if p[:-2] + ('kernel',) in flat_pk}
+    if self._jit_update is None:
+      self._jit_update = self._make_jit_update()
     df = self.schedule.get_drop_fraction(self.step)
-    out = pt.flax_packed_rigl_update(self.params, self.packings,
-                                     self.opt_state, self.tx, dense_grads,
-                                     df, cfg.block)
-    self.params = out.params
-    self.packings = out.packings
-    self.opt_state = out.opt_state
+    self.params, self.packings, self.opt_state, occ = self._jit_update(
+        self.params, self.packings, self.opt_state, x, y,
+        jnp.float32(df))
     self.last_update_step = self.step
-    self._jit_step = None          # packings changed; re-close the step
-    return out.occupancy
+    # No jit-step reset: packings are traced args, shapes are static.
+    return occ
 
   # --------------------------------------------------------------- eval ----
   def evaluate(self, tokens: np.ndarray, max_windows: int = 64) -> float:
@@ -298,4 +315,5 @@ class PackedLMTrainer:
     self.opt_state = jax.tree.unflatten(
         treedef, [jnp.asarray(z[f'opt_{i}']) for i in range(len(leaves))])
     self._jit_step = None
+    self._jit_update = None
     return True

@@ -29,6 +29,31 @@ def test_packed_lm_trains_and_updates():
   assert res['n_params_packed'] < 0.6 * res['n_params_dense_equiv']
 
 
+def test_packed_lm_no_recompile_across_mask_updates():
+  """Packings ride as traced pytree args, so drop/grow must NOT invalidate
+  the compiled train step (one compile per run, even over the TPU tunnel)."""
+  tokens = synthetic_stream(4000, seed=2)
+  tr = PackedLMTrainer(PackedLMConfig(train_steps=45, **CFG))
+  tr.init_state()
+  compiles = {'step': 0, 'update': 0}
+  orig_step, orig_update = tr._make_jit_step, tr._make_jit_update
+
+  def count_step():
+    compiles['step'] += 1
+    return orig_step()
+
+  def count_update():
+    compiles['update'] += 1
+    return orig_update()
+
+  tr._make_jit_step = count_step
+  tr._make_jit_update = count_update
+  res = tr.train(tokens)
+  assert res['mask_updates'] >= 2
+  assert compiles['step'] == 1, compiles
+  assert compiles['update'] == 1, compiles
+
+
 def test_packed_lm_resume_is_deterministic(tmp_path):
   tokens = synthetic_stream(6000, seed=1)
   cfg_a = PackedLMConfig(train_steps=50, **CFG)
