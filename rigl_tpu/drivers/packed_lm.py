@@ -47,6 +47,9 @@ safe_flags.DEFINE_integer('packed_bm', 128, 'row-panel size of the packed '
                           'matmul (VMEM-clamped automatically)')
 safe_flags.DEFINE_string('lm_dtype', 'float32', 'float32|bfloat16')
 safe_flags.DEFINE_integer('warmup_steps', 50, 'linear LR warmup')
+safe_flags.DEFINE_integer('n_data', 1, 'data-parallel mesh shards')
+safe_flags.DEFINE_integer('n_model', 1, 'tensor-parallel column groups '
+                          '(packed kernels shard over the model axis)')
 
 
 def synthetic_stream(n: int = 200_000, seed: int = 0) -> np.ndarray:
@@ -110,7 +113,9 @@ def main(argv):
       drop_fraction_anneal=(FLAGS.drop_fraction_anneal
                             if FLAGS.training_method == 'rigl' else
                             'constant'),
-      seed=FLAGS.seed)
+      seed=FLAGS.seed,
+      n_data=FLAGS.n_data,
+      n_model=FLAGS.n_model)
 
   trainer = PackedLMTrainer(cfg)
   if FLAGS.output_dir and trainer.restore(FLAGS.output_dir):

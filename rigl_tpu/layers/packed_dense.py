@@ -17,7 +17,7 @@ dense, gross.
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -44,6 +44,17 @@ class PackedDense(nn.Module):
   Requires in_features % block[0] == 0 and features % block[1] == 0.
   The active-block count uses the same floor arithmetic as every mask in
   this package (distributions.get_n_zeros).
+
+  Tensor parallelism: `tp_shards=n` stores the kernel as n stacked
+  output-column groups `(n, cap, bk, bn)` with exactly cap = n_active/n
+  active blocks per group (parallel/packed_tp.py's balanced layout; the
+  count is rounded to a multiple of n).  Outside shard_map the groups are
+  computed in sequence and concatenated — bit-identical math to a
+  single-group layer with the same occupancy.  Inside a shard_map whose
+  `tp_axis` mesh axis shards the leading group axis, each device computes
+  only its group's columns and the output is all-gathered; dx cotangents
+  are psum'd via replicate_for_tp (identity fwd).  Set `tp_axis` ONLY on
+  the model instance applied inside shard_map.
   """
   features: int
   sparsity: float = 0.8
@@ -52,6 +63,8 @@ class PackedDense(nn.Module):
   use_bias: bool = True
   dtype: Any = jnp.float32
   bias_init: Any = nn.initializers.zeros
+  tp_shards: int = 1
+  tp_axis: Optional[str] = None
 
   @nn.compact
   def __call__(self, x):
@@ -63,6 +76,9 @@ class PackedDense(nn.Module):
     nk, nn_ = in_features // bk, self.features // bn
     n_total = nk * nn_
     n_active = n_total - get_n_zeros(n_total, self.sparsity)
+
+    if self.tp_shards > 1:
+      return self._tp_call(x, nk, nn_, n_active)
 
     packing = self.variable(
         'packing', 'kernel',
@@ -86,6 +102,58 @@ class PackedDense(nn.Module):
       x2d = jnp.pad(x2d, ((0, pad), (0, 0)))
     y = packed_matmul(x2d, kernel.astype(self.dtype), packing.value,
                       self.block, self.bm)
+    y = y[:n_rows].reshape(lead + (self.features,))
+    if self.use_bias:
+      y = y + self.param('bias', self.bias_init,
+                         (self.features,)).astype(self.dtype)
+    return y
+
+  def _tp_call(self, x, nk: int, nn_: int, n_active: int):
+    from rigl_tpu.parallel import packed_tp as tp
+
+    in_features = x.shape[-1]
+    nm = self.tp_shards
+    if nn_ % nm:
+      raise ValueError(f'{self.features}/{self.block[1]}={nn_} block '
+                       f'columns must divide tp_shards={nm}')
+    nn_local = nn_ // nm
+    # Balanced layout: the per-group count is the static shard shape, so
+    # n_active rounds to the nearest multiple of tp_shards (>= tp_shards).
+    n_active = min(nk * nn_, max(nm, int(round(n_active / nm)) * nm))
+    cap = n_active // nm
+    # Inside shard_map the leading group axis is sharded over tp_axis:
+    # params/packings arrive (and must be declared) with the LOCAL count.
+    nm_store = nm if self.tp_axis is None else (
+        nm // jax.lax.axis_size(self.tp_axis))
+
+    def init_packing():
+      keys = jax.random.split(self.make_rng('params'), nm_store)
+      return tp.stack_packings([
+          make_packing(random_occupancy(keys[g], nk, nn_local, cap), cap)
+          for g in range(nm_store)])
+
+    packing = self.variable('packing', 'kernel', init_packing)
+    kernel = self.param(
+        'kernel',
+        lambda key, shape: (jax.random.normal(key, shape)
+                            / np.sqrt(in_features)).astype(jnp.float32),
+        (nm_store, cap) + tuple(self.block))
+
+    lead = x.shape[:-1]
+    x2d = x.reshape((-1, in_features)).astype(self.dtype)
+    n_rows = x2d.shape[0]
+    pad = (-n_rows) % self.bm
+    if pad:
+      x2d = jnp.pad(x2d, ((0, pad), (0, 0)))
+    if self.tp_axis is not None:
+      x2d = tp.replicate_for_tp(x2d, self.tp_axis)
+    nm_local = kernel.shape[0]       # 1 inside shard_map, tp_shards outside
+    ys = [packed_matmul(x2d, kernel[g].astype(self.dtype),
+                        tp.local_packing(packing.value, g), self.block,
+                        self.bm) for g in range(nm_local)]
+    y = ys[0] if nm_local == 1 else jnp.concatenate(ys, axis=1)
+    if self.tp_axis is not None:
+      y = tp.gather_columns_for_tp(y, self.tp_axis, axis=1)
     y = y[:n_rows].reshape(lead + (self.features,))
     if self.use_bias:
       y = y + self.param('bias', self.bias_init,

@@ -20,7 +20,7 @@ by parity tests and the benchmark's baseline arm.
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -90,6 +90,11 @@ class PackedTransformer(nn.Module):
   block: Tuple[int, int] = (128, 128)
   bm: int = 512
   dtype: Any = jnp.float32
+  # Tensor parallelism: store every packed kernel as tp_shards balanced
+  # output-column groups (see PackedDense).  tp_axis is set ONLY on the
+  # model instance applied inside a shard_map over that mesh axis.
+  tp_shards: int = 1
+  tp_axis: Optional[str] = None
 
   @nn.compact
   def __call__(self, x):
@@ -98,10 +103,12 @@ class PackedTransformer(nn.Module):
     # every projection a (name-colliding) child of this module.
     sparsity, block, bm, dtype = (self.sparsity, self.block, self.bm,
                                   self.dtype)
+    tp_shards, tp_axis = self.tp_shards, self.tp_axis
 
     def proj(features, name):
       return PackedDense(features, sparsity=sparsity, block=block, bm=bm,
-                         use_bias=False, dtype=dtype, name=name)
+                         use_bias=False, dtype=dtype, tp_shards=tp_shards,
+                         tp_axis=tp_axis, name=name)
 
     if self.vocab_size:
       x = nn.Embed(self.vocab_size, self.d_model,

@@ -36,7 +36,8 @@ weight shard a real memory/compute win, not a notional one.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+import functools
+from typing import List, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +48,61 @@ from rigl_tpu.ops.pallas.block_sparse_packed import (Packing, make_packing,
                                                      packed_matmul,
                                                      unpack_dense)
 from rigl_tpu.transforms import packed_training as pt
+
+
+# --------------------------------------------------- collectives helper ----
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def replicate_for_tp(x, axis_name: str):
+  """Identity forward / psum-cotangent backward over `axis_name`.
+
+  The entry operator of a column-parallel block under shard_map: x is
+  replicated over the model axis, each shard's matmul backward yields only
+  its own columns' dx contribution, and the FULL dx is their sum — this
+  op's transpose inserts exactly that psum (the standard conjugate of the
+  tiled all_gather on the output side).  Needed because the sharded train
+  steps run with check_vma=False (pallas calls don't carry replication
+  types), so jax cannot insert the psum itself."""
+  return x
+
+
+def _replicate_fwd(x, axis_name):
+  return x, None
+
+
+def _replicate_bwd(axis_name, _, g):
+  return (jax.lax.psum(g, axis_name),)
+
+
+replicate_for_tp.defvjp(_replicate_fwd, _replicate_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def gather_columns_for_tp(y, axis_name: str, axis: int = 1):
+  """Tiled all_gather over `axis_name` whose backward SLICES the
+  cotangent instead of psum-scattering it.
+
+  The exit operator of a column-parallel block: every model shard then
+  runs the identical replicated downstream compute, so the cotangent dy
+  arriving here is REPLICATED over `axis_name`.  The generic transpose of
+  a tiled all_gather (psum_scatter) assumes device-varying cotangents
+  that sum to the true one and would overcount by the axis size; the
+  correct pullback under replication is each shard taking its own slice
+  exactly once.  Only valid when everything downstream of the gather is
+  replicated over `axis_name` (true for the packed TP models: only
+  packed kernels shard over 'model')."""
+  return jax.lax.all_gather(y, axis_name, axis=axis, tiled=True)
+
+
+def _gather_cols_fwd(y, axis_name, axis):
+  return gather_columns_for_tp(y, axis_name, axis), y.shape[axis]
+
+
+def _gather_cols_bwd(axis_name, axis, local_n, g):
+  start = jax.lax.axis_index(axis_name) * local_n
+  return (jax.lax.dynamic_slice_in_dim(g, start, local_n, axis=axis),)
+
+
+gather_columns_for_tp.defvjp(_gather_cols_fwd, _gather_cols_bwd)
 
 
 # ----------------------------------------------------------- occupancy ----
@@ -90,6 +146,31 @@ def make_tp_packing(occ, n_model: int) -> Packing:
   return Packing(fwd, bwd, (nk, nn_local))
 
 
+def stack_packings(pks: List[Packing]) -> Packing:
+  """List of per-group local packings (identical entry counts and grid
+  shapes) -> stacked TP Packing (leading axis n_model on every array).
+  jit-traceable (used by PackedDense's tp_shards>1 init and checkpoint
+  restore; make_tp_packing is the numpy/validating front door)."""
+  fwd = tuple(jnp.stack([pk.fwd[i] for pk in pks]) for i in range(4))
+  bwd = tuple(jnp.stack([pk.bwd[i] for pk in pks]) for i in range(4))
+  return Packing(fwd, bwd, pks[0].shape)
+
+
+def stacked_packing_from_occ(occ, n_model: int, cap: int) -> Packing:
+  """Global (nk, nn) occupancy (exactly `cap` active blocks per contiguous
+  column group) -> stacked TP Packing.  jit-traceable."""
+  occ = jnp.asarray(occ)
+  nn_local = occ.shape[1] // n_model
+  return stack_packings([
+      make_packing(occ[:, g * nn_local:(g + 1) * nn_local], cap)
+      for g in range(n_model)])
+
+
+def is_stacked(pk: Packing) -> bool:
+  """True for stacked TP packings (leading model-group axis on arrays)."""
+  return getattr(pk.fwd[0], 'ndim', 1) == 2
+
+
 def local_packing(tp_pk: Packing, g=None) -> Packing:
   """Row `g` (default: the shard-local row 0 inside shard_map) of a
   stacked TP packing, as an ordinary Packing."""
@@ -100,6 +181,13 @@ def local_packing(tp_pk: Packing, g=None) -> Packing:
 
 def n_groups(tp_pk: Packing) -> int:
   return int(tp_pk.fwd[0].shape[0])
+
+
+def tp_occupancy_grid(tp_pk: Packing) -> jnp.ndarray:
+  """Global (nk, nn) occupancy reconstructed from a stacked TP packing."""
+  return jnp.concatenate([
+      pt.occupancy_grid(local_packing(tp_pk, g))
+      for g in range(n_groups(tp_pk))], axis=1)
 
 
 def cap_of(tp_pk: Packing) -> int:

@@ -28,10 +28,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax.sharding import Mesh, PartitionSpec as P
 
 from rigl_tpu.models.packed_transformer import (DenseTransformer,
                                                 PackedTransformer)
 from rigl_tpu.ops.pallas.block_sparse_packed import make_packing, unpack_dense
+from rigl_tpu.parallel import packed_tp as tp
 from rigl_tpu.sparsity.schedules import UpdateSchedule
 from rigl_tpu.transforms import packed_training as pt
 
@@ -58,6 +60,13 @@ class PackedLMConfig:
   drop_fraction: float = 0.3
   drop_fraction_anneal: str = 'cosine'
   seed: int = 0
+  # SPMD: n_data data-parallel shards x n_model tensor-parallel column
+  # groups over a (data, model) Mesh.  (1, 1) = single-device jit (no
+  # shard_map).  n_model>1 stores every packed kernel as n_model balanced
+  # column groups (PackedDense tp_shards) whether or not a mesh is live,
+  # so the same checkpoint runs sharded or unsharded.
+  n_data: int = 1
+  n_model: int = 1
 
   def model_kwargs(self) -> Dict[str, Any]:
     return dict(num_layers=self.num_layers, d_model=self.d_model,
@@ -71,13 +80,18 @@ def dense_twin_params(params, packings, block):
   unpacked to dense with zeros at inactive blocks; other leaves shared).
 
   PackedDense stores its kernel at (..., 'kernel'); the dense twin's
-  equivalent lives one module deeper at (..., 'd', 'kernel')."""
+  equivalent lives one module deeper at (..., 'd', 'kernel').  TP-stacked
+  kernels (tp_shards>1) unpack group-by-group to the same global dense
+  view."""
   flat_p = traverse.flatten_dict(params)
   flat_pk = traverse.flatten_dict(packings)
   out = {}
   for path, v in flat_p.items():
     if path in flat_pk:
-      out[path[:-1] + ('d', 'kernel')] = unpack_dense(v, flat_pk[path], block)
+      pk = flat_pk[path]
+      dense = (tp.unpack_dense_tp(v, pk, block) if tp.is_stacked(pk)
+               else unpack_dense(v, pk, block))
+      out[path[:-1] + ('d', 'kernel')] = dense
     else:
       out[path] = v
   return traverse.unflatten_dict(out)
@@ -96,8 +110,30 @@ class PackedLMTrainer:
                        f'divide block {cfg.block}')
     self.cfg = cfg
     self.model = PackedTransformer(sparsity=cfg.sparsity, block=cfg.block,
-                                   bm=cfg.bm, **cfg.model_kwargs())
+                                   bm=cfg.bm, tp_shards=cfg.n_model,
+                                   **cfg.model_kwargs())
     self.dense_twin = DenseTransformer(**cfg.model_kwargs())
+    self.mesh = None
+    self.model_sharded = None
+    if cfg.n_data > 1 or cfg.n_model > 1:
+      if cfg.batch_size % cfg.n_data:
+        raise ValueError(f'batch_size={cfg.batch_size} must divide '
+                         f'n_data={cfg.n_data}')
+      n_dev = cfg.n_data * cfg.n_model
+      devs = jax.devices()
+      if len(devs) < n_dev:
+        raise ValueError(f'need {n_dev} devices for mesh '
+                         f'({cfg.n_data} data, {cfg.n_model} model); '
+                         f'have {len(devs)}')
+      self.mesh = Mesh(np.asarray(devs[:n_dev]).reshape(
+          cfg.n_data, cfg.n_model), ('data', 'model'))
+      # Applied ONLY inside the shard_map'd step: same params/packings
+      # trees, but each device computes its own column group + all_gather.
+      self.model_sharded = PackedTransformer(
+          sparsity=cfg.sparsity, block=cfg.block, bm=cfg.bm,
+          tp_shards=cfg.n_model,
+          tp_axis='model' if cfg.n_model > 1 else None,
+          **cfg.model_kwargs())
     sched = optax.linear_schedule(0.0, cfg.learning_rate,
                                   max(cfg.warmup_steps, 1))
     self.tx = optax.adam(sched)
@@ -129,13 +165,35 @@ class PackedLMTrainer:
     self._jit_update = None
 
   # -------------------------------------------------------------- loss ----
-  def _loss(self, params, packings, x, y):
-    lg = self.model.apply({'params': params, 'packing': packings}, x)
+  def _loss_with(self, model, params, packings, x, y):
+    lg = model.apply({'params': params, 'packing': packings}, x)
     lg = lg.astype(jnp.float32)
     b, s = y.shape
     ll = jax.nn.log_softmax(lg)[jnp.arange(b)[:, None],
                                 jnp.arange(s)[None, :], y]
     return -jnp.mean(ll)
+
+  def _loss(self, params, packings, x, y):
+    return self._loss_with(self.model, params, packings, x, y)
+
+  # ------------------------------------------------------------- specs ----
+  def _spec_trees(self):
+    """(params, packings, opt_state) PartitionSpec trees for the
+    (data, model) mesh: TP-stacked packed kernels (and their packing
+    arrays / optimizer slots) shard their leading group axis over
+    'model'; everything else is replicated."""
+    nm = self.cfg.n_model
+    flat_p = traverse.flatten_dict(self.params)
+    flat_pk = traverse.flatten_dict(self.packings)
+    spec_p = traverse.unflatten_dict({
+        p: (P('model') if (nm > 1 and p in flat_pk) else P())
+        for p in flat_p})
+    spec_pk = jax.tree.map(lambda _: P('model') if nm > 1 else P(),
+                           self.packings)
+    spec_os = optax.tree_map_params(
+        self.tx, lambda _, s: s, self.opt_state, spec_p,
+        transform_non_params=lambda _: P())
+    return spec_p, spec_pk, spec_os
 
   # -------------------------------------------------------------- steps ----
   def _make_jit_step(self):
@@ -143,14 +201,41 @@ class PackedLMTrainer:
     # only static aux is the grid shape), so drop/grow — which changes
     # block coordinates but never array shapes — does NOT recompile the
     # step.  One compile per run, even over the slow remote-TPU tunnel.
-    @jax.jit
-    def step_fn(params, packings, opt_state, x, y):
+    if self.mesh is None:
+      @jax.jit
+      def step_fn(params, packings, opt_state, x, y):
+        loss, g = jax.value_and_grad(
+            lambda p: self._loss(p, packings, x, y))(params)
+        updates, opt_state = self.tx.update(g, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+      return step_fn
+    return self._make_sharded_step()
+
+  def _make_sharded_step(self):
+    """One SPMD train step over the (data, model) mesh: batch sharded on
+    'data' (grads pmean'd), packed kernels column-group sharded on
+    'model' (dw/optimizer local; dx psum'd inside PackedDense via
+    replicate_for_tp, outputs all-gathered).  Non-kernel grads come out
+    replicated over 'model' because every cotangent entering the
+    replicated compute passes a psum first — the Megatron f/g pair."""
+    from jax import shard_map
+
+    model = self.model_sharded
+    spec_p, spec_pk, spec_os = self._spec_trees()
+
+    def local_step(params, packings, opt_state, x, y):
       loss, g = jax.value_and_grad(
-          lambda p: self._loss(p, packings, x, y))(params)
+          lambda p: self._loss_with(model, p, packings, x, y))(params)
+      loss = jax.lax.pmean(loss, 'data')
+      g = jax.lax.pmean(g, 'data')
       updates, opt_state = self.tx.update(g, opt_state, params)
       return optax.apply_updates(params, updates), opt_state, loss
 
-    return step_fn
+    return jax.jit(shard_map(
+        local_step, mesh=self.mesh,
+        in_specs=(spec_p, spec_pk, spec_os, P('data'), P('data')),
+        out_specs=(spec_p, spec_os, P()), check_vma=False))
 
   def train_step(self, x, y) -> float:
     if self._jit_step is None:
@@ -213,13 +298,19 @@ class PackedLMTrainer:
     n = min(len(tokens) // w, max_windows)
     if n == 0:
       return float('nan')
+    params, packings = self.params, self.packings
+    if self.mesh is not None:
+      # Eval runs the global (tp_axis=None) model outside shard_map:
+      # fetch the mesh-sharded state into ordinary single-device arrays.
+      params = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)), params)
+      packings = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)),
+                              packings)
     wins = np.asarray(tokens[:n * w], np.int32).reshape(n, w)
     total, count = 0.0, 0
     for i in range(0, n, cfg.batch_size):
       chunk = jnp.asarray(wins[i:i + cfg.batch_size])
       x, y = chunk[:, :-1], chunk[:, 1:]
-      total += float(self._loss(self.params, self.packings, x, y)
-                     ) * x.shape[0]
+      total += float(self._loss(params, packings, x, y)) * x.shape[0]
       count += int(x.shape[0])
     return total / count
 
@@ -261,7 +352,9 @@ class PackedLMTrainer:
     n_packed = sum(int(np.prod(v.shape)) for p, v in flat_p.items()
                    if p in flat_pk)
     n_dense_equiv = sum(
-        int(np.prod(flat_pk[p]['shape'])) * cfg.block[0] * cfg.block[1]
+        int(np.prod(flat_pk[p]['shape']))
+        * (tp.n_groups(flat_pk[p]) if tp.is_stacked(flat_pk[p]) else 1)
+        * cfg.block[0] * cfg.block[1]
         for p in flat_pk)
     result = {'train_steps': self.step, 'mask_updates': n_updates,
               'batches': self.batches_seen, 'final_loss': loss,
@@ -283,7 +376,9 @@ class PackedLMTrainer:
             'last_update': np.asarray(self.last_update_step),
             'batches_seen': np.asarray(self.batches_seen)}
     for p, pk in traverse.flatten_dict(self.packings).items():
-      flat['occ_' + '/'.join(p)] = np.asarray(pt.occupancy_grid(pk))
+      occ = (tp.tp_occupancy_grid(pk) if tp.is_stacked(pk)
+             else pt.occupancy_grid(pk))
+      flat['occ_' + '/'.join(p)] = np.asarray(occ)
     for p, v in traverse.flatten_dict(self.params).items():
       flat['param_' + '/'.join(p)] = np.asarray(v)
     leaves, _ = jax.tree.flatten(self.opt_state)
@@ -306,7 +401,12 @@ class PackedLMTrainer:
     new_pk, new_p = {}, {}
     for p in flat_pk:
       occ = jnp.asarray(z['occ_' + '/'.join(p)])
-      new_pk[p] = make_packing(occ, int(flat_p[p].shape[0]))
+      if tp.is_stacked(flat_pk[p]):
+        # Stacked layout: per-group cap is the static shard shape.
+        new_pk[p] = tp.stacked_packing_from_occ(
+            occ, int(flat_p[p].shape[0]), int(flat_p[p].shape[1]))
+      else:
+        new_pk[p] = make_packing(occ, int(flat_p[p].shape[0]))
     for p in flat_p:
       new_p[p] = jnp.asarray(z['param_' + '/'.join(p)])
     self.packings = traverse.unflatten_dict(new_pk)

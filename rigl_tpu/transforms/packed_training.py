@@ -187,6 +187,7 @@ def flax_packed_rigl_update(params, packings, opt_state, tx, dense_grads,
   import flax.traverse_util as tv
   import optax
   from rigl_tpu.ops.block_mask import pool_to_blocks
+  from rigl_tpu.parallel import packed_tp as tp
 
   flat_p = dict(tv.flatten_dict(params))
   flat_pk = dict(tv.flatten_dict(packings))
@@ -198,9 +199,19 @@ def flax_packed_rigl_update(params, packings, opt_state, tx, dense_grads,
       grown_flat[path] = empty
       continue
     pk = flat_pk[path]
-    n_act = int(flat_p[path].shape[0])
     grid = pool_to_blocks(jnp.abs(dense_grads[path].astype(jnp.float32)),
                           block, 'sum')
+    if tp.is_stacked(pk):
+      # TP-stacked kernel: drop/grow per column group (static per-group
+      # counts are the shard shapes; perm/grown carry the group axis).
+      out_tp = tp.tp_drop_grow(flat_p[path], pk, grid, drop_fraction)
+      perm_flat[path] = out_tp.perm
+      grown_flat[path] = out_tp.grown
+      flat_p[path] = out_tp.packed
+      flat_pk[path] = out_tp.packing
+      occ[path] = out_tp.occupancy
+      continue
+    n_act = int(flat_p[path].shape[0])
     out = packed_drop_grow(flat_p[path], pk, grid, drop_fraction, n_act)
     perm_flat[path] = repack_permutation(pk, out.packing)
     grown_flat[path] = out.grown
@@ -209,8 +220,20 @@ def flax_packed_rigl_update(params, packings, opt_state, tx, dense_grads,
     occ[path] = out.occupancy
 
   def fix(leaf, perm, grown):
-    if (grown.shape[0] > 0 and hasattr(leaf, 'shape')
-        and getattr(leaf, 'ndim', 0) >= 1
+    if not (hasattr(leaf, 'shape') and getattr(grown, 'ndim', 0) >= 1
+            and grown.shape[0] > 0):
+      return leaf
+    if (grown.ndim == 2 and getattr(leaf, 'ndim', 0) >= 2
+        and leaf.shape[:2] == grown.shape):
+      # TP-stacked slots: within-group gather along the packed axis 1.
+      nm, cap = grown.shape
+      src = jnp.take_along_axis(
+          leaf, jnp.maximum(perm, 0).reshape(
+              (nm, cap) + (1,) * (leaf.ndim - 2)), axis=1)
+      pad = (1,) * (leaf.ndim - 2)
+      return jnp.where(grown.reshape((nm, cap) + pad),
+                       jnp.zeros_like(src), src)
+    if (grown.ndim == 1 and getattr(leaf, 'ndim', 0) >= 1
         and leaf.shape[0] == grown.shape[0]):
       src = leaf[jnp.maximum(perm, 0)]
       pad = (1,) * (leaf.ndim - 1)

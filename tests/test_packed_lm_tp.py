@@ -1,0 +1,147 @@
+"""Tensor-parallel packed storage INSIDE the full LM trainer
+(train/packed_lm.py with n_data/n_model > 1): the shard_map'd
+(data, model) train step matches the unsharded stacked-storage step
+bit-for-near-bit, mask updates preserve per-group counts, and checkpoints
+round-trip across the sharded/unsharded boundary."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from rigl_tpu.layers.packed_dense import PackedDense
+from rigl_tpu.parallel import packed_tp as tp
+from rigl_tpu.train.packed_lm import (PackedLMConfig, PackedLMTrainer,
+                                      dense_twin_params)
+
+CFG = dict(vocab_size=64, num_layers=1, d_model=32, d_ff=64, num_heads=2,
+           seq_len=16, sparsity=0.5, block=(16, 16), bm=32,
+           learning_rate=1e-2, warmup_steps=2, train_steps=6, batch_size=4,
+           maskupdate_begin_step=0, maskupdate_end_step=100,
+           maskupdate_frequency=3, drop_fraction=0.5, seed=3)
+
+
+def _tokens(n=4000, seed=0):
+  return np.random.RandomState(seed).randint(0, 64, size=n).astype(np.int32)
+
+
+def test_tp_packed_dense_matches_dense_view():
+  """tp_shards=2 PackedDense (global, no mesh) == x @ unpacked kernel."""
+  m = PackedDense(64, sparsity=0.5, block=(16, 16), bm=32, use_bias=False,
+                  tp_shards=2)
+  x = jnp.asarray(np.random.RandomState(0).randn(8, 32), jnp.float32)
+  variables = m.init(jax.random.key(0), x)
+  kernel = variables['params']['kernel']
+  pk = variables['packing']['kernel']
+  assert kernel.ndim == 4 and kernel.shape[0] == 2
+  assert tp.is_stacked(pk)
+  y = m.apply(variables, x)
+  wd = tp.unpack_dense_tp(kernel, pk, (16, 16))
+  np.testing.assert_allclose(np.asarray(y), np.asarray(x @ wd),
+                             rtol=1e-5, atol=1e-5)
+
+
+def _ref_step(tr):
+  """The unsharded jit step on the SAME stacked storage (tp_axis=None
+  model path: per-group matmuls concatenated)."""
+  @jax.jit
+  def step(params, packings, opt_state, x, y):
+    loss, g = jax.value_and_grad(
+        lambda p: tr._loss(p, packings, x, y))(params)
+    updates, opt_state = tr.tx.update(g, opt_state, params)
+    return optax.apply_updates(params, updates), opt_state, loss
+  return step
+
+
+def test_tp_trainer_sharded_step_matches_unsharded():
+  """(2 data, 2 model) shard_map step == global jit step on identical
+  stacked state, through a mask update and a post-update step."""
+  if len(jax.devices()) < 4:
+    pytest.skip('needs 4 devices')
+  tr = PackedLMTrainer(PackedLMConfig(n_data=2, n_model=2, **CFG))
+  tr.init_state()
+  params0 = jax.tree.map(jnp.copy, tr.params)
+  packings0 = jax.tree.map(jnp.copy, tr.packings)
+  opt0 = jax.tree.map(jnp.copy, tr.opt_state)
+  tok = _tokens()
+  ref = _ref_step(tr)
+
+  p_ref, os_ref, pk_ref = params0, opt0, packings0
+  for i in range(2):
+    x, y = tr.sample_batch(tok)
+    loss_sh = tr.train_step(x, y)
+    p_ref, os_ref, loss_ref = ref(p_ref, pk_ref, os_ref, x, y)
+    np.testing.assert_allclose(loss_sh, float(loss_ref), rtol=1e-5)
+  for (pa, a), (pb, b) in zip(
+      jax.tree_util.tree_leaves_with_path(tr.params),
+      jax.tree_util.tree_leaves_with_path(p_ref)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-4, atol=1e-6, err_msg=str(pa))
+
+  # One drop/grow on the sharded trainer, then another sharded step: the
+  # step must keep compiling/running with the new packings (static shapes)
+  # and per-group counts must be preserved.
+  x, y = tr.sample_batch(tok)
+  tr.step = 3                      # an update iter under the schedule
+  occ = tr.mask_update(x, y)
+  assert occ                        # at least one packed kernel updated
+  import flax.traverse_util as tv
+  for path, pk in tv.flatten_dict(tr.packings).items():
+    assert tp.is_stacked(pk)
+    grid = np.asarray(tp.tp_occupancy_grid(pk))
+    nmod = tp.n_groups(pk)
+    nn_local = grid.shape[1] // nmod
+    counts = [grid[:, g * nn_local:(g + 1) * nn_local].sum()
+              for g in range(nmod)]
+    assert len(set(counts)) == 1, (path, counts)
+  x, y = tr.sample_batch(tok)
+  loss = tr.train_step(x, y)
+  assert np.isfinite(loss)
+
+
+def test_tp_trainer_trains_and_twin_matches():
+  """Full train() run on the (2,2) mesh: finite losses, and the dense twin
+  of the final stacked params reproduces the packed model's logits."""
+  if len(jax.devices()) < 4:
+    pytest.skip('needs 4 devices')
+  tr = PackedLMTrainer(PackedLMConfig(n_data=2, n_model=2, **CFG))
+  tok = _tokens()
+  res = tr.train(tok, eval_tokens=tok[:600])
+  assert res['train_steps'] == CFG['train_steps']
+  assert res['mask_updates'] >= 1
+  assert np.isfinite(res['final_loss']) and np.isfinite(res['eval_ce_nats'])
+  # n_dense_equiv accounts for ALL groups of the stacked layout.
+  assert res['n_params_dense_equiv'] > res['n_params_packed']
+
+  x = jnp.asarray(_tokens(64, 9)[: 2 * CFG['seq_len']].reshape(2, -1))
+  lg_packed = tr.model.apply(
+      {'params': tr.params, 'packing': tr.packings}, x)
+  dv = dense_twin_params(tr.params, tr.packings, CFG['block'])
+  lg_dense = tr.dense_twin.apply({'params': dv}, x)
+  np.testing.assert_allclose(np.asarray(lg_packed), np.asarray(lg_dense),
+                             rtol=5e-4, atol=5e-5)
+
+
+def test_tp_trainer_save_restore_resumes_identically(tmp_path):
+  if len(jax.devices()) < 4:
+    pytest.skip('needs 4 devices')
+  cfg = PackedLMConfig(n_data=2, n_model=2, **CFG)
+  tok = _tokens()
+  a = PackedLMTrainer(cfg)
+  a.train(tok)                      # 6 steps incl. updates
+  a.save(str(tmp_path))
+
+  b = PackedLMTrainer(cfg)
+  assert b.restore(str(tmp_path))
+  # Continue both for 2 more steps on identical sampled batches.
+  a.cfg = b.cfg = PackedLMConfig(n_data=2, n_model=2,
+                                 **{**CFG, 'train_steps': 8})
+  ra = a.train(tok)
+  rb = b.train(tok)
+  np.testing.assert_allclose(ra['final_loss'], rb['final_loss'], rtol=1e-5)
+  for (pa, va), (pb, vb) in zip(
+      jax.tree_util.tree_leaves_with_path(a.params),
+      jax.tree_util.tree_leaves_with_path(b.params)):
+    np.testing.assert_allclose(np.asarray(va), np.asarray(vb),
+                               rtol=1e-5, atol=1e-7, err_msg=str(pa))
