@@ -38,6 +38,9 @@ safe_flags.DEFINE_string('packed_block', '16,16',
                          'execution needs bn=128, bk%8==0')
 safe_flags.DEFINE_integer('packed_bm', 128, 'row-panel size of the packed '
                           'matmul (VMEM-clamped automatically)')
+safe_flags.DEFINE_integer('conv_n_data', 1, 'data-parallel mesh shards')
+safe_flags.DEFINE_integer('conv_n_model', 1, 'tensor-parallel column '
+                          'groups (packed kernels shard over model axis)')
 
 
 def main(argv):
@@ -72,14 +75,20 @@ def main(argv):
       drop_fraction=FLAGS.drop_fraction,
       drop_fraction_anneal=('constant' if static
                             else FLAGS.drop_fraction_anneal),
-      seed=FLAGS.seed)
+      seed=FLAGS.seed,
+      n_data=FLAGS.conv_n_data,
+      n_model=FLAGS.conv_n_model)
   net = dict(num_classes=info['num_classes'], stem_width=FLAGS.stem_width,
              stages=stages)
-  model = PackedConvNet(sparsity=sparsity, block=cfg.block,
-                        bm=FLAGS.packed_bm, **net)
+  packed = dict(sparsity=sparsity, block=cfg.block, bm=FLAGS.packed_bm,
+                tp_shards=cfg.n_model, **net)
+  model = PackedConvNet(**packed)
   twin = DenseConvNet(**net)
+  model_sharded = (PackedConvNet(tp_axis='model', **packed)
+                   if cfg.n_model > 1 else None)
   trainer = PackedClassifierTrainer(model, twin, cfg,
-                                    input_shape=info['shape'])
+                                    input_shape=info['shape'],
+                                    model_sharded=model_sharded)
 
   result = trainer.train(
       (np.asarray(train_ds.images), np.asarray(train_ds.labels)),

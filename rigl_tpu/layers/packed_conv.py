@@ -16,17 +16,12 @@ to PackedDense (block-pooled |w| drop, pooled |dense grad| grow).
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
-import numpy as np
 
-from rigl_tpu.layers.packed_dense import random_occupancy
-from rigl_tpu.ops.pallas.block_sparse_packed import (make_packing,
-                                                     packed_matmul)
-from rigl_tpu.sparsity.distributions import get_n_zeros
+from rigl_tpu.layers.packed_dense import packed_kernel_matmul
 
 
 class PackedConv1x1(nn.Module):
@@ -42,41 +37,24 @@ class PackedConv1x1(nn.Module):
   strides: Tuple[int, int] = (1, 1)
   use_bias: bool = False
   dtype: Any = jnp.float32
+  # Tensor parallelism: see packed_kernel_matmul (tp_shards stacked
+  # column-group storage; tp_axis only on the instance inside shard_map).
+  tp_shards: int = 1
+  tp_axis: Optional[str] = None
 
   @nn.compact
   def __call__(self, x):
     cin = x.shape[-1]
-    bk, bn = self.block
-    if cin % bk or self.features % bn:
-      raise ValueError(f'({cin}, {self.features}) must divide '
-                       f'block {self.block}')
     sh, sw = self.strides
     if sh != 1 or sw != 1:
       x = x[:, ::sh, ::sw, :]
-    nk, nn_ = cin // bk, self.features // bn
-    n_total = nk * nn_
-    n_active = n_total - get_n_zeros(n_total, self.sparsity)
-
-    packing = self.variable(
-        'packing', 'kernel',
-        lambda: make_packing(
-            random_occupancy(self.make_rng('params'), nk, nn_, n_active),
-            n_active))
-    kernel = self.param(
-        'kernel',
-        lambda key, shape: (jax.random.normal(key, shape)
-                            / np.sqrt(cin)).astype(jnp.float32),
-        (n_active, bk, bn))
-
     b, h, w, _ = x.shape
     x2d = x.reshape(b * h * w, cin).astype(self.dtype)
-    n_rows = x2d.shape[0]
-    pad = (-n_rows) % self.bm
-    if pad:
-      x2d = jnp.pad(x2d, ((0, pad), (0, 0)))
-    y = packed_matmul(x2d, kernel.astype(self.dtype), packing.value,
-                      self.block, self.bm)
-    y = y[:n_rows].reshape(b, h, w, self.features)
+    y = packed_kernel_matmul(
+        self, x2d, self.features, sparsity=self.sparsity, block=self.block,
+        bm=self.bm, dtype=self.dtype, tp_shards=self.tp_shards,
+        tp_axis=self.tp_axis)
+    y = y.reshape(b, h, w, self.features)
     if self.use_bias:
       y = y + self.param('bias', nn.initializers.zeros,
                          (self.features,)).astype(self.dtype)

@@ -38,6 +38,111 @@ def random_occupancy(key: jax.Array, nk: int, nn_: int,
   return grid.reshape(nk, nn_)
 
 
+def packed_kernel_matmul(mod: nn.Module, x2d, features: int, *,
+                         sparsity: float, block: Tuple[int, int], bm: int,
+                         dtype, tp_shards: int = 1,
+                         tp_axis: Optional[str] = None):
+  """Declares a packed 'kernel' param + 'packing' variable on `mod`
+  (an nn.Module in compact scope) and returns x2d @ W, rows padded to the
+  row-panel size internally and cropped back.
+
+  The single shared engine behind PackedDense and PackedConv1x1.  Active
+  positions get the per-element scale a dense lecun-normal kernel would
+  (stddev 1/sqrt(dense fan-in)) — matches the premasked-dense convention
+  without materializing a dense tensor.
+
+  Tensor parallelism (`tp_shards=n`): the kernel is stored as n stacked
+  output-column groups `(n, cap, bk, bn)` with exactly cap = n_active/n
+  active blocks per group (parallel/packed_tp.py's balanced layout; the
+  count is rounded to a multiple of n).  Outside shard_map the groups are
+  computed in sequence and concatenated — bit-identical math to a
+  single-group layer with the same occupancy.  Inside a shard_map whose
+  `tp_axis` mesh axis shards the leading group axis, each device computes
+  only its group's columns and the output is all-gathered
+  (slice-backward: packed_tp.gather_columns_for_tp); dx cotangents are
+  psum'd via replicate_for_tp (identity fwd).  Set `tp_axis` ONLY on the
+  model instance applied inside shard_map.
+  """
+  in_features = x2d.shape[-1]
+  bk, bn = block
+  if in_features % bk or features % bn:
+    raise ValueError(f'({in_features}, {features}) must divide '
+                     f'block {block}')
+  nk, nn_ = in_features // bk, features // bn
+  n_total = nk * nn_
+  n_active = n_total - get_n_zeros(n_total, sparsity)
+
+  if tp_shards > 1:
+    return _tp_kernel_matmul(mod, x2d, features, nk, nn_, n_active,
+                             block=block, bm=bm, dtype=dtype,
+                             tp_shards=tp_shards, tp_axis=tp_axis)
+
+  packing = mod.variable(
+      'packing', 'kernel',
+      lambda: make_packing(
+          random_occupancy(mod.make_rng('params'), nk, nn_, n_active),
+          n_active))
+  kernel = mod.param(
+      'kernel',
+      lambda key, shape: (jax.random.normal(key, shape)
+                          / np.sqrt(in_features)).astype(jnp.float32),
+      (n_active, bk, bn))
+
+  n_rows = x2d.shape[0]
+  pad = (-n_rows) % bm
+  if pad:
+    x2d = jnp.pad(x2d, ((0, pad), (0, 0)))
+  y = packed_matmul(x2d, kernel.astype(dtype), packing.value, block, bm)
+  return y[:n_rows]
+
+
+def _tp_kernel_matmul(mod, x2d, features, nk, nn_, n_active, *, block, bm,
+                      dtype, tp_shards, tp_axis):
+  from rigl_tpu.parallel import packed_tp as tp
+
+  in_features = x2d.shape[-1]
+  nm = tp_shards
+  if nn_ % nm:
+    raise ValueError(f'{features}/{block[1]}={nn_} block '
+                     f'columns must divide tp_shards={nm}')
+  nn_local = nn_ // nm
+  # Balanced layout: the per-group count is the static shard shape, so
+  # n_active rounds to the nearest multiple of tp_shards (>= tp_shards).
+  n_active = min(nk * nn_, max(nm, int(round(n_active / nm)) * nm))
+  cap = n_active // nm
+  # Inside shard_map the leading group axis is sharded over tp_axis:
+  # params/packings arrive (and must be declared) with the LOCAL count.
+  nm_store = nm if tp_axis is None else nm // jax.lax.axis_size(tp_axis)
+
+  def init_packing():
+    keys = jax.random.split(mod.make_rng('params'), nm_store)
+    return tp.stack_packings([
+        make_packing(random_occupancy(keys[g], nk, nn_local, cap), cap)
+        for g in range(nm_store)])
+
+  packing = mod.variable('packing', 'kernel', init_packing)
+  kernel = mod.param(
+      'kernel',
+      lambda key, shape: (jax.random.normal(key, shape)
+                          / np.sqrt(in_features)).astype(jnp.float32),
+      (nm_store, cap) + tuple(block))
+
+  n_rows = x2d.shape[0]
+  pad = (-n_rows) % bm
+  if pad:
+    x2d = jnp.pad(x2d, ((0, pad), (0, 0)))
+  if tp_axis is not None:
+    x2d = tp.replicate_for_tp(x2d, tp_axis)
+  nm_local = kernel.shape[0]         # 1 inside shard_map, tp_shards outside
+  ys = [packed_matmul(x2d, kernel[g].astype(dtype),
+                      tp.local_packing(packing.value, g), block, bm)
+        for g in range(nm_local)]
+  y = ys[0] if nm_local == 1 else jnp.concatenate(ys, axis=1)
+  if tp_axis is not None:
+    y = tp.gather_columns_for_tp(y, tp_axis, axis=1)
+  return y[:n_rows]
+
+
 class PackedDense(nn.Module):
   """y = x @ W + b with W stored packed at `sparsity`.
 
@@ -45,16 +150,8 @@ class PackedDense(nn.Module):
   The active-block count uses the same floor arithmetic as every mask in
   this package (distributions.get_n_zeros).
 
-  Tensor parallelism: `tp_shards=n` stores the kernel as n stacked
-  output-column groups `(n, cap, bk, bn)` with exactly cap = n_active/n
-  active blocks per group (parallel/packed_tp.py's balanced layout; the
-  count is rounded to a multiple of n).  Outside shard_map the groups are
-  computed in sequence and concatenated — bit-identical math to a
-  single-group layer with the same occupancy.  Inside a shard_map whose
-  `tp_axis` mesh axis shards the leading group axis, each device computes
-  only its group's columns and the output is all-gathered; dx cotangents
-  are psum'd via replicate_for_tp (identity fwd).  Set `tp_axis` ONLY on
-  the model instance applied inside shard_map.
+  Tensor parallelism: see packed_kernel_matmul (tp_shards stacked
+  column-group storage; tp_axis only on the instance inside shard_map).
   """
   features: int
   sparsity: float = 0.8
@@ -69,92 +166,13 @@ class PackedDense(nn.Module):
   @nn.compact
   def __call__(self, x):
     in_features = x.shape[-1]
-    bk, bn = self.block
-    if in_features % bk or self.features % bn:
-      raise ValueError(f'({in_features}, {self.features}) must divide '
-                       f'block {self.block}')
-    nk, nn_ = in_features // bk, self.features // bn
-    n_total = nk * nn_
-    n_active = n_total - get_n_zeros(n_total, self.sparsity)
-
-    if self.tp_shards > 1:
-      return self._tp_call(x, nk, nn_, n_active)
-
-    packing = self.variable(
-        'packing', 'kernel',
-        lambda: make_packing(
-            random_occupancy(self.make_rng('params'), nk, nn_, n_active),
-            n_active))
-    # Active positions get the same per-element scale a dense lecun-normal
-    # kernel would (stddev 1/sqrt(dense fan-in)) — matches the premasked-
-    # dense convention without materializing a dense tensor.
-    kernel = self.param(
-        'kernel',
-        lambda key, shape: (jax.random.normal(key, shape)
-                            / np.sqrt(in_features)).astype(jnp.float32),
-        (n_active, bk, bn))
-
     lead = x.shape[:-1]
     x2d = x.reshape((-1, in_features)).astype(self.dtype)
-    n_rows = x2d.shape[0]
-    pad = (-n_rows) % self.bm
-    if pad:
-      x2d = jnp.pad(x2d, ((0, pad), (0, 0)))
-    y = packed_matmul(x2d, kernel.astype(self.dtype), packing.value,
-                      self.block, self.bm)
-    y = y[:n_rows].reshape(lead + (self.features,))
-    if self.use_bias:
-      y = y + self.param('bias', self.bias_init,
-                         (self.features,)).astype(self.dtype)
-    return y
-
-  def _tp_call(self, x, nk: int, nn_: int, n_active: int):
-    from rigl_tpu.parallel import packed_tp as tp
-
-    in_features = x.shape[-1]
-    nm = self.tp_shards
-    if nn_ % nm:
-      raise ValueError(f'{self.features}/{self.block[1]}={nn_} block '
-                       f'columns must divide tp_shards={nm}')
-    nn_local = nn_ // nm
-    # Balanced layout: the per-group count is the static shard shape, so
-    # n_active rounds to the nearest multiple of tp_shards (>= tp_shards).
-    n_active = min(nk * nn_, max(nm, int(round(n_active / nm)) * nm))
-    cap = n_active // nm
-    # Inside shard_map the leading group axis is sharded over tp_axis:
-    # params/packings arrive (and must be declared) with the LOCAL count.
-    nm_store = nm if self.tp_axis is None else (
-        nm // jax.lax.axis_size(self.tp_axis))
-
-    def init_packing():
-      keys = jax.random.split(self.make_rng('params'), nm_store)
-      return tp.stack_packings([
-          make_packing(random_occupancy(keys[g], nk, nn_local, cap), cap)
-          for g in range(nm_store)])
-
-    packing = self.variable('packing', 'kernel', init_packing)
-    kernel = self.param(
-        'kernel',
-        lambda key, shape: (jax.random.normal(key, shape)
-                            / np.sqrt(in_features)).astype(jnp.float32),
-        (nm_store, cap) + tuple(self.block))
-
-    lead = x.shape[:-1]
-    x2d = x.reshape((-1, in_features)).astype(self.dtype)
-    n_rows = x2d.shape[0]
-    pad = (-n_rows) % self.bm
-    if pad:
-      x2d = jnp.pad(x2d, ((0, pad), (0, 0)))
-    if self.tp_axis is not None:
-      x2d = tp.replicate_for_tp(x2d, self.tp_axis)
-    nm_local = kernel.shape[0]       # 1 inside shard_map, tp_shards outside
-    ys = [packed_matmul(x2d, kernel[g].astype(self.dtype),
-                        tp.local_packing(packing.value, g), self.block,
-                        self.bm) for g in range(nm_local)]
-    y = ys[0] if nm_local == 1 else jnp.concatenate(ys, axis=1)
-    if self.tp_axis is not None:
-      y = tp.gather_columns_for_tp(y, self.tp_axis, axis=1)
-    y = y[:n_rows].reshape(lead + (self.features,))
+    y = packed_kernel_matmul(
+        self, x2d, self.features, sparsity=self.sparsity, block=self.block,
+        bm=self.bm, dtype=self.dtype, tp_shards=self.tp_shards,
+        tp_axis=self.tp_axis)
+    y = y.reshape(lead + (self.features,))
     if self.use_bias:
       y = y + self.param('bias', self.bias_init,
                          (self.features,)).astype(self.dtype)

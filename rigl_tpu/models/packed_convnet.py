@@ -95,16 +95,22 @@ class PackedConvNet(nn.Module):
   block: Tuple[int, int] = (16, 16)
   bm: int = 128
   dtype: Any = jnp.float32
+  # Tensor parallelism: every packed pointwise conv stores tp_shards
+  # balanced column groups (see layers/packed_dense.packed_kernel_matmul);
+  # tp_axis only on the instance applied inside shard_map.
+  tp_shards: int = 1
+  tp_axis: Any = None
 
   @nn.compact
   def __call__(self, x):
     sparsity, block, bm, dtype = (self.sparsity, self.block, self.bm,
                                   self.dtype)
+    tp_shards, tp_axis = self.tp_shards, self.tp_axis
 
     def pointwise(features, strides, name):
       return PackedConv1x1(features, sparsity=sparsity, block=block, bm=bm,
                            strides=strides, use_bias=False, dtype=dtype,
-                           name=name)
+                           tp_shards=tp_shards, tp_axis=tp_axis, name=name)
 
     return _backbone(x, self.stem_width, self.stages, pointwise,
                      self.num_classes, self.dtype)

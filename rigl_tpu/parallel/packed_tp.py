@@ -105,6 +105,29 @@ def _gather_cols_bwd(axis_name, axis, local_n, g):
 gather_columns_for_tp.defvjp(_gather_cols_fwd, _gather_cols_bwd)
 
 
+def mesh_spec_trees(tx, params, packings, opt_state, n_model: int):
+  """(params, packings, opt_state) PartitionSpec trees for a
+  (data, model) mesh: TP-stacked packed kernels (and their packing arrays
+  / optimizer slots) shard their leading group axis over 'model';
+  everything else is replicated.  Shared by the packed LM and classifier
+  trainers' shard_map steps."""
+  import flax.traverse_util as traverse
+  import optax
+  from jax.sharding import PartitionSpec as P
+
+  flat_p = traverse.flatten_dict(params)
+  flat_pk = traverse.flatten_dict(packings)
+  spec_p = traverse.unflatten_dict({
+      p: (P('model') if (n_model > 1 and p in flat_pk) else P())
+      for p in flat_p})
+  spec_pk = jax.tree.map(lambda _: P('model') if n_model > 1 else P(),
+                         packings)
+  spec_os = optax.tree_map_params(
+      tx, lambda _, s: s, opt_state, spec_p,
+      transform_non_params=lambda _: P())
+  return spec_p, spec_pk, spec_os
+
+
 # ----------------------------------------------------------- occupancy ----
 def balanced_block_mask(rs: np.random.RandomState, nk: int, nn: int,
                         n_active: int, n_model: int) -> np.ndarray:

@@ -24,7 +24,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax.sharding import Mesh, PartitionSpec as P
 
+from rigl_tpu.parallel import packed_tp as tp
 from rigl_tpu.sparsity.schedules import UpdateSchedule
 from rigl_tpu.train.packed_lm import dense_twin_params
 from rigl_tpu.transforms import packed_training as pt
@@ -44,6 +46,13 @@ class PackedClassifierConfig:
   drop_fraction: float = 0.3
   drop_fraction_anneal: str = 'cosine'
   seed: int = 0
+  # SPMD: n_data data-parallel shards x n_model tensor-parallel column
+  # groups over a (data, model) Mesh; (1, 1) = single-device jit.  With
+  # n_model>1 the model must store tp_shards=n_model stacked kernels and
+  # a `model_sharded` twin (tp_axis='model') must be passed to the
+  # trainer — see train/packed_lm.py for the same contract.
+  n_data: int = 1
+  n_model: int = 1
 
 
 class PackedClassifierTrainer:
@@ -52,11 +61,29 @@ class PackedClassifierTrainer:
   friends).  All packed shapes are static across the run."""
 
   def __init__(self, model, dense_twin, cfg: PackedClassifierConfig,
-               input_shape: Tuple[int, ...]):
+               input_shape: Tuple[int, ...], model_sharded=None):
     self.model = model
     self.dense_twin = dense_twin
     self.cfg = cfg
     self.input_shape = tuple(input_shape)
+    self.mesh = None
+    self.model_sharded = None
+    if cfg.n_data > 1 or cfg.n_model > 1:
+      if cfg.batch_size % cfg.n_data:
+        raise ValueError(f'batch_size={cfg.batch_size} must divide '
+                         f'n_data={cfg.n_data}')
+      if cfg.n_model > 1 and model_sharded is None:
+        raise ValueError('n_model>1 needs a model_sharded instance '
+                         "(tp_axis='model')")
+      n_dev = cfg.n_data * cfg.n_model
+      devs = jax.devices()
+      if len(devs) < n_dev:
+        raise ValueError(f'need {n_dev} devices for mesh '
+                         f'({cfg.n_data} data, {cfg.n_model} model); '
+                         f'have {len(devs)}')
+      self.mesh = Mesh(np.asarray(devs[:n_dev]).reshape(
+          cfg.n_data, cfg.n_model), ('data', 'model'))
+      self.model_sharded = (model_sharded if cfg.n_model > 1 else model)
     self.tx = optax.sgd(cfg.learning_rate, momentum=cfg.momentum,
                         nesterov=True)
     self.schedule = UpdateSchedule(
@@ -86,22 +113,53 @@ class PackedClassifierTrainer:
     self._jit_update = None
 
   # -------------------------------------------------------------- loss ----
-  def _loss(self, params, packings, x, y):
-    lg = self.model.apply({'params': params, 'packing': packings}, x)
+  def _loss_with(self, model, params, packings, x, y):
+    lg = model.apply({'params': params, 'packing': packings}, x)
     ll = jax.nn.log_softmax(lg.astype(jnp.float32))
     return -jnp.mean(ll[jnp.arange(y.shape[0]), y])
+
+  def _loss(self, params, packings, x, y):
+    return self._loss_with(self.model, params, packings, x, y)
 
   def _make_jit_step(self):
     # Packings ride as TRACED args (Packing is a registered pytree), so
     # drop/grow never recompiles the step — see train/packed_lm.py.
-    @jax.jit
-    def step_fn(params, packings, opt_state, x, y):
+    if self.mesh is None:
+      @jax.jit
+      def step_fn(params, packings, opt_state, x, y):
+        loss, g = jax.value_and_grad(
+            lambda p: self._loss(p, packings, x, y))(params)
+        updates, opt_state = self.tx.update(g, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+      return step_fn
+    return self._make_sharded_step()
+
+  def _make_sharded_step(self):
+    """One SPMD train step over the (data, model) mesh — the same
+    Megatron f/g pattern as train/packed_lm._make_sharded_step: batch
+    sharded on 'data' (grads pmean'd), packed kernels column-group
+    sharded on 'model' (dw/optimizer local; dx psum'd inside the packed
+    layers via replicate_for_tp, outputs all-gathered slice-backward)."""
+    from jax import shard_map
+
+    model = self.model_sharded
+    spec_p, spec_pk, spec_os = tp.mesh_spec_trees(
+        self.tx, self.params, self.packings, self.opt_state,
+        self.cfg.n_model)
+
+    def local_step(params, packings, opt_state, x, y):
       loss, g = jax.value_and_grad(
-          lambda p: self._loss(p, packings, x, y))(params)
+          lambda p: self._loss_with(model, p, packings, x, y))(params)
+      loss = jax.lax.pmean(loss, 'data')
+      g = jax.lax.pmean(g, 'data')
       updates, opt_state = self.tx.update(g, opt_state, params)
       return optax.apply_updates(params, updates), opt_state, loss
 
-    return step_fn
+    return jax.jit(shard_map(
+        local_step, mesh=self.mesh,
+        in_specs=(spec_p, spec_pk, spec_os, P('data'), P('data')),
+        out_specs=(spec_p, spec_os, P()), check_vma=False))
 
   def train_step(self, x, y) -> float:
     if self._jit_step is None:
@@ -151,11 +209,18 @@ class PackedClassifierTrainer:
   def evaluate(self, x: np.ndarray, y: np.ndarray) -> float:
     correct = 0
     bs = self.cfg.batch_size
+    params, packings = self.params, self.packings
+    if self.mesh is not None:
+      # Eval runs the global (tp_axis=None) model outside shard_map:
+      # fetch the mesh-sharded state into ordinary single-device arrays.
+      params = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)), params)
+      packings = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)),
+                              packings)
     apply = jax.jit(lambda p, xb: self.model.apply(
-        {'params': p, 'packing': self.packings}, xb))
+        {'params': p, 'packing': packings}, xb))
     for i in range(0, len(x), bs):
       xb = jnp.asarray(x[i:i + bs])
-      lg = apply(self.params, xb)
+      lg = apply(params, xb)
       correct += int(np.sum(np.argmax(np.asarray(lg), -1)
                             == y[i:i + len(xb)]))
     return correct / len(x)
@@ -192,7 +257,9 @@ class PackedClassifierTrainer:
     n_packed = sum(int(np.prod(v.shape)) for p, v in flat_p.items()
                    if p in flat_pk)
     n_dense_equiv = sum(
-        int(np.prod(flat_pk[p]['shape'])) * cfg.block[0] * cfg.block[1]
+        int(np.prod(flat_pk[p]['shape']))
+        * (tp.n_groups(flat_pk[p]) if tp.is_stacked(flat_pk[p]) else 1)
+        * cfg.block[0] * cfg.block[1]
         for p in flat_pk)
     result = {'train_steps': self.step, 'mask_updates': n_updates,
               'batches': self.batches_seen, 'final_loss': loss,

@@ -176,25 +176,6 @@ class PackedLMTrainer:
   def _loss(self, params, packings, x, y):
     return self._loss_with(self.model, params, packings, x, y)
 
-  # ------------------------------------------------------------- specs ----
-  def _spec_trees(self):
-    """(params, packings, opt_state) PartitionSpec trees for the
-    (data, model) mesh: TP-stacked packed kernels (and their packing
-    arrays / optimizer slots) shard their leading group axis over
-    'model'; everything else is replicated."""
-    nm = self.cfg.n_model
-    flat_p = traverse.flatten_dict(self.params)
-    flat_pk = traverse.flatten_dict(self.packings)
-    spec_p = traverse.unflatten_dict({
-        p: (P('model') if (nm > 1 and p in flat_pk) else P())
-        for p in flat_p})
-    spec_pk = jax.tree.map(lambda _: P('model') if nm > 1 else P(),
-                           self.packings)
-    spec_os = optax.tree_map_params(
-        self.tx, lambda _, s: s, self.opt_state, spec_p,
-        transform_non_params=lambda _: P())
-    return spec_p, spec_pk, spec_os
-
   # -------------------------------------------------------------- steps ----
   def _make_jit_step(self):
     # Packings ride as TRACED args (Packing is a registered pytree whose
@@ -222,7 +203,9 @@ class PackedLMTrainer:
     from jax import shard_map
 
     model = self.model_sharded
-    spec_p, spec_pk, spec_os = self._spec_trees()
+    spec_p, spec_pk, spec_os = tp.mesh_spec_trees(
+        self.tx, self.params, self.packings, self.opt_state,
+        self.cfg.n_model)
 
     def local_step(params, packings, opt_state, x, y):
       loss, g = jax.value_and_grad(
