@@ -50,6 +50,10 @@ safe_flags.DEFINE_integer('warmup_steps', 50, 'linear LR warmup')
 safe_flags.DEFINE_integer('n_data', 1, 'data-parallel mesh shards')
 safe_flags.DEFINE_integer('n_model', 1, 'tensor-parallel column groups '
                           '(packed kernels shard over the model axis)')
+safe_flags.DEFINE_integer('n_pipe', 1, 'pipeline stages (blocks shard '
+                          'over the pipe axis, GPipe microbatch schedule)')
+safe_flags.DEFINE_integer('n_micro', 0, 'microbatches per local batch for '
+                          'the pipeline schedule (0 = n_pipe)')
 
 
 def synthetic_stream(n: int = 200_000, seed: int = 0) -> np.ndarray:
@@ -115,7 +119,9 @@ def main(argv):
                             'constant'),
       seed=FLAGS.seed,
       n_data=FLAGS.n_data,
-      n_model=FLAGS.n_model)
+      n_model=FLAGS.n_model,
+      n_pipe=FLAGS.n_pipe,
+      n_micro=FLAGS.n_micro)
 
   trainer = PackedLMTrainer(cfg)
   if FLAGS.output_dir and trainer.restore(FLAGS.output_dir):

@@ -67,6 +67,14 @@ class PackedLMConfig:
   # so the same checkpoint runs sharded or unsharded.
   n_data: int = 1
   n_model: int = 1
+  # Pipeline parallelism (parallel/packed_pp.py): n_pipe>1 splits the
+  # num_layers blocks into n_pipe stages over a 3-axis
+  # ('data','pipe','model') mesh and runs the GPipe microbatch schedule
+  # (n_micro microbatches per local batch; 0 = n_pipe).  Composes with
+  # n_data and n_model.  State stays the canonical flax tree, so RigL
+  # updates / eval / checkpointing are unchanged.
+  n_pipe: int = 1
+  n_micro: int = 0
 
   def model_kwargs(self) -> Dict[str, Any]:
     return dict(num_layers=self.num_layers, d_model=self.d_model,
@@ -115,18 +123,30 @@ class PackedLMTrainer:
     self.dense_twin = DenseTransformer(**cfg.model_kwargs())
     self.mesh = None
     self.model_sharded = None
-    if cfg.n_data > 1 or cfg.n_model > 1:
+    if cfg.n_data > 1 or cfg.n_model > 1 or cfg.n_pipe > 1:
       if cfg.batch_size % cfg.n_data:
         raise ValueError(f'batch_size={cfg.batch_size} must divide '
                          f'n_data={cfg.n_data}')
-      n_dev = cfg.n_data * cfg.n_model
+      n_dev = cfg.n_data * cfg.n_model * cfg.n_pipe
       devs = jax.devices()
       if len(devs) < n_dev:
         raise ValueError(f'need {n_dev} devices for mesh '
-                         f'({cfg.n_data} data, {cfg.n_model} model); '
-                         f'have {len(devs)}')
-      self.mesh = Mesh(np.asarray(devs[:n_dev]).reshape(
-          cfg.n_data, cfg.n_model), ('data', 'model'))
+                         f'({cfg.n_data} data, {cfg.n_pipe} pipe, '
+                         f'{cfg.n_model} model); have {len(devs)}')
+      if cfg.n_pipe > 1:
+        if cfg.num_layers % cfg.n_pipe:
+          raise ValueError(f'num_layers={cfg.num_layers} must divide '
+                           f'n_pipe={cfg.n_pipe}')
+        n_micro = cfg.n_micro or cfg.n_pipe
+        if (cfg.batch_size // cfg.n_data) % n_micro:
+          raise ValueError(f'local batch {cfg.batch_size // cfg.n_data} '
+                           f'must divide n_micro={n_micro}')
+        self.mesh = Mesh(np.asarray(devs[:n_dev]).reshape(
+            cfg.n_data, cfg.n_pipe, cfg.n_model),
+            ('data', 'pipe', 'model'))
+      else:
+        self.mesh = Mesh(np.asarray(devs[:n_dev]).reshape(
+            cfg.n_data, cfg.n_model), ('data', 'model'))
       # Applied ONLY inside the shard_map'd step: same params/packings
       # trees, but each device computes its own column group + all_gather.
       self.model_sharded = PackedTransformer(
@@ -191,7 +211,98 @@ class PackedLMTrainer:
         return optax.apply_updates(params, updates), opt_state, loss
 
       return step_fn
+    if self.cfg.n_pipe > 1:
+      return self._make_pp_step()
     return self._make_sharded_step()
+
+  def _make_pp_step(self):
+    """One dp x pp x tp train step: the blocks run the GPipe microbatch
+    schedule over 'pipe' (parallel/packed_pp.pipeline_blocks — per-layer
+    params/packings stacked and stage-sharded inside the step), each
+    block's packed kernels optionally column-group sharded over 'model'
+    (the same Megatron f/g pattern as _make_sharded_step), and the batch
+    sharded over 'data'.  The loss/grad is the pipelined part; the
+    optimizer applies outside shard_map on the canonical flax tree, so
+    drop/grow, eval, and checkpointing need no pp-specific code."""
+    import flax.linen as nn
+    from jax import shard_map
+
+    from rigl_tpu.layers.packed_dense import PackedDense
+    from rigl_tpu.models.packed_transformer import _Block
+    from rigl_tpu.parallel import packed_pp as pp
+
+    cfg = self.cfg
+    L = cfg.num_layers
+    n_micro = cfg.n_micro or cfg.n_pipe
+    dtype = jnp.dtype(cfg.dtype)
+    tp_axis = 'model' if cfg.n_model > 1 else None
+
+    def proj(features, name):
+      return PackedDense(features, sparsity=cfg.sparsity, block=cfg.block,
+                         bm=cfg.bm, use_bias=False, dtype=dtype,
+                         tp_shards=cfg.n_model, tp_axis=tp_axis, name=name)
+
+    block_mod = _Block(cfg.num_heads, cfg.d_ff, proj, dtype)
+    emb_mod = nn.Embed(cfg.vocab_size, cfg.d_model, dtype=dtype)
+    lnf_mod = nn.LayerNorm(dtype=dtype)
+    head_mod = nn.Dense(cfg.vocab_size, use_bias=False, dtype=dtype)
+
+    def block_apply(p, pk, h):
+      return block_mod.apply({'params': p, 'packing': pk}, h)
+
+    bp0, bpk0, _ = pp.split_lm_variables(self.params, self.packings, L)
+    spec_bp, spec_bpk = pp.pp_spec_trees(bp0, bpk0, cfg.n_model)
+
+    def local_grads(blocks_p, blocks_pk, rest, x, y):
+      def loss_fn(blocks_p, rest):
+        h = emb_mod.apply({'params': rest['embed']}, x)
+        outs = pp.pipeline_blocks(block_apply, blocks_p, blocks_pk, h,
+                                  n_micro, 'pipe')
+        hf = lnf_mod.apply({'params': rest['ln_f']}, outs)
+        lg = head_mod.apply({'params': rest['head']},
+                            hf).astype(jnp.float32)
+        b, s = y.shape
+        ll = jax.nn.log_softmax(lg)[jnp.arange(b)[:, None],
+                                    jnp.arange(s)[None, :], y]
+        local = -jnp.mean(ll)
+        # Real outputs live on the last stage only (zeros elsewhere):
+        # return the LOCAL masked loss — do NOT psum inside the
+        # differentiated function (psum transposes to psum, so each
+        # device's unit seed would reach the last stage n_pipe times and
+        # scale every gradient by n_pipe).  Differentiating the local
+        # loss seeds ct=1 per device; the ppermute transposes route the
+        # last stage's cotangent back through earlier stages, so each
+        # device's grad is exactly d(sum of local losses)/d(its inputs).
+        sid = jax.lax.axis_index('pipe')
+        return jnp.where(sid == jax.lax.axis_size('pipe') - 1, local, 0.0)
+
+      loss, (g_b, g_r) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+          blocks_p, rest)
+      # Sum the masked local losses (only the last stage's is nonzero).
+      loss = jax.lax.psum(loss, 'pipe')
+      # Replicated (non-stage) params contribute on specific stages only
+      # (embed on the first, ln_f/head on the last); summing over 'pipe'
+      # reconstructs the exact global gradient on every device.
+      g_r = jax.lax.psum(g_r, 'pipe')
+      loss = jax.lax.pmean(loss, 'data')
+      g_b = jax.lax.pmean(g_b, 'data')
+      g_r = jax.lax.pmean(g_r, 'data')
+      return loss, g_b, g_r
+
+    sharded = shard_map(
+        local_grads, mesh=self.mesh,
+        in_specs=(spec_bp, spec_bpk, P(), P('data'), P('data')),
+        out_specs=(P(), spec_bp, P()), check_vma=False)
+
+    @jax.jit
+    def step_fn(params, packings, opt_state, x, y):
+      blocks_p, blocks_pk, rest = pp.split_lm_variables(params, packings, L)
+      loss, g_b, g_r = sharded(blocks_p, blocks_pk, rest, x, y)
+      g = pp.merge_lm_params(g_b, g_r, L)
+      updates, opt_state = self.tx.update(g, opt_state, params)
+      return optax.apply_updates(params, updates), opt_state, loss
+
+    return step_fn
 
   def _make_sharded_step(self):
     """One SPMD train step over the (data, model) mesh: batch sharded on

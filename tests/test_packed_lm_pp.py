@@ -1,0 +1,148 @@
+"""Pipeline-parallel packed LM training (parallel/packed_pp.py): the GPipe
+shard_map step over a ('data','pipe'[,'model']) mesh must match the
+unsharded jit step on identical state — including composed dp x pp x tp —
+and keep training through RigL drop/grow on packed storage."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from rigl_tpu.parallel import packed_pp as pp
+from rigl_tpu.train.packed_lm import PackedLMConfig, PackedLMTrainer
+
+CFG = dict(vocab_size=64, num_layers=2, d_model=32, d_ff=64, num_heads=2,
+           seq_len=16, sparsity=0.5, block=(16, 16), bm=32,
+           learning_rate=1e-2, warmup_steps=1, train_steps=4, batch_size=8,
+           maskupdate_begin_step=0, maskupdate_end_step=100,
+           maskupdate_frequency=2, drop_fraction=0.5, seed=0)
+
+
+def _tokens(n=4000, seed=0):
+  return np.random.RandomState(seed).randint(0, 64, size=n).astype(np.int32)
+
+
+def _ref_step(tr):
+  """Unsharded jit step on the SAME (possibly TP-stacked) storage."""
+
+  @jax.jit
+  def ref(params, packings, opt_state, x, y):
+    loss, g = jax.value_and_grad(
+        lambda p: tr._loss(p, packings, x, y))(params)
+    updates, opt_state = tr.tx.update(g, opt_state, params)
+    return optax.apply_updates(params, updates), opt_state, loss
+
+  return ref
+
+
+def _assert_trees_close(a, b, rtol=2e-4, atol=1e-6):
+  for (pa, x), (pb, yv) in zip(jax.tree_util.tree_leaves_with_path(a),
+                               jax.tree_util.tree_leaves_with_path(b)):
+    np.testing.assert_allclose(np.asarray(x), np.asarray(yv),
+                               rtol=rtol, atol=atol, err_msg=str(pa))
+
+
+def _run_equivalence(cfg):
+  tr = PackedLMTrainer(cfg)
+  tr.init_state()
+  p_ref = jax.tree.map(jnp.copy, tr.params)
+  os_ref = jax.tree.map(jnp.copy, tr.opt_state)
+  pk_ref = jax.tree.map(jnp.copy, tr.packings)
+  ref = _ref_step(tr)
+  tok = _tokens()
+  for _ in range(2):
+    x, y = tr.sample_batch(tok)
+    loss_pp = tr.train_step(x, y)
+    p_ref, os_ref, loss_ref = ref(p_ref, pk_ref, os_ref, x, y)
+    np.testing.assert_allclose(loss_pp, float(loss_ref), rtol=1e-5)
+  _assert_trees_close(tr.params, p_ref)
+  return tr, tok
+
+
+def test_pp_step_matches_single_device():
+  if len(jax.devices()) < 4:
+    pytest.skip('needs 4 devices')
+  _run_equivalence(PackedLMConfig(n_data=2, n_pipe=2, n_micro=2, **CFG))
+
+
+def test_pp_tp_dp_composed_matches_single_device():
+  """Full 3D parallelism: 2 data x 2 pipe x 2 model = 8 devices, packed
+  kernels both stage-sharded (layer axis over 'pipe') and column-group
+  sharded (group axis over 'model')."""
+  if len(jax.devices()) < 8:
+    pytest.skip('needs 8 devices')
+  tr, tok = _run_equivalence(
+      PackedLMConfig(n_data=2, n_pipe=2, n_model=2, n_micro=2, **CFG))
+  # Drop/grow on the canonical tree keeps the pp step running (packings
+  # ride as traced args; static shapes survive the update).
+  tr.step = 2
+  tr.mask_update(*tr.sample_batch(tok))
+  assert np.isfinite(tr.train_step(*tr.sample_batch(tok)))
+
+
+def test_pp_microbatch_count_invariance():
+  """n_micro=2 vs n_micro=4 give the same math (CE mean over equal-size
+  microbatches == CE mean over the batch)."""
+  if len(jax.devices()) < 2:
+    pytest.skip('needs 2 devices')
+  tok = _tokens()
+  losses, leaves = [], []
+  for n_micro in (2, 4):
+    cfg = PackedLMConfig(n_data=1, n_pipe=2, n_micro=n_micro, **CFG)
+    tr = PackedLMTrainer(cfg)
+    tr.init_state()
+    x, y = tr.sample_batch(tok)
+    losses.append(tr.train_step(x, y))
+    leaves.append(jax.tree.leaves(tr.params)[0])
+  np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+  np.testing.assert_allclose(np.asarray(leaves[0]), np.asarray(leaves[1]),
+                             rtol=2e-4, atol=1e-6)
+
+
+def test_pp_trains_and_mask_updates():
+  if len(jax.devices()) < 4:
+    pytest.skip('needs 4 devices')
+  cfg = PackedLMConfig(n_data=2, n_pipe=2, **CFG)
+  tr = PackedLMTrainer(cfg)
+  tok = _tokens(6000)
+  res = tr.train(tok, eval_tokens=tok[-500:])
+  assert res['train_steps'] == CFG['train_steps']
+  assert res['mask_updates'] >= 1
+  assert np.isfinite(res['final_loss'])
+  assert np.isfinite(res['eval_ce_nats'])
+
+
+def test_pipeline_blocks_identity_stack():
+  """pipeline_blocks with an identity-ish block reproduces the sequential
+  stack exactly (pure schedule check, no flax)."""
+  if len(jax.devices()) < 2:
+    pytest.skip('needs 2 devices')
+  from jax import shard_map
+  from jax.sharding import Mesh, PartitionSpec as P
+
+  n_pipe, L = 2, 4
+  mesh = Mesh(np.asarray(jax.devices()[:n_pipe]), ('pipe',))
+  rs = np.random.RandomState(0)
+  scales = jnp.asarray(rs.rand(L, 1).astype(np.float32) + 0.5)
+  x = jnp.asarray(rs.randn(8, 3, 5).astype(np.float32))
+
+  def block_apply(p, _pk, h):
+    return h * p['s'] + 1.0
+
+  def run(blocks, xl):
+    return pp.pipeline_blocks(block_apply, blocks, {'s': blocks['s']},
+                              xl, n_micro=4, axis_name='pipe')
+
+  fn = jax.jit(shard_map(run, mesh=mesh,
+                         in_specs=({'s': P('pipe')}, P()),
+                         out_specs=P('pipe'), check_vma=False))
+  # out_specs P('pipe') stacks per-device outputs; the LAST stage's rows
+  # hold the real result, earlier stages' rows are zeros.
+  out = np.asarray(fn({'s': scales}, x))
+  ref = np.asarray(x)
+  for l in range(L):
+    ref = ref * float(scales[l, 0]) + 1.0
+  assert out.shape[0] == 2 * x.shape[0]
+  np.testing.assert_allclose(out[:x.shape[0]], 0.0, atol=0)
+  np.testing.assert_allclose(out[x.shape[0]:], ref, rtol=1e-6)
