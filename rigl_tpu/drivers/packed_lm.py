@@ -54,6 +54,8 @@ safe_flags.DEFINE_integer('n_pipe', 1, 'pipeline stages (blocks shard '
                           'over the pipe axis, GPipe microbatch schedule)')
 safe_flags.DEFINE_integer('n_micro', 0, 'microbatches per local batch for '
                           'the pipeline schedule (0 = n_pipe)')
+safe_flags.DEFINE_integer('n_seq', 1, 'sequence-parallel shards (tokens '
+                          'shard over the seq axis; attention gathers k/v)')
 
 
 def synthetic_stream(n: int = 200_000, seed: int = 0) -> np.ndarray:
@@ -121,7 +123,8 @@ def main(argv):
       n_data=FLAGS.n_data,
       n_model=FLAGS.n_model,
       n_pipe=FLAGS.n_pipe,
-      n_micro=FLAGS.n_micro)
+      n_micro=FLAGS.n_micro,
+      n_seq=FLAGS.n_seq)
 
   trainer = PackedLMTrainer(cfg)
   if FLAGS.output_dir and trainer.restore(FLAGS.output_dir):

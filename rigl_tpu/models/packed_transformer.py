@@ -31,10 +31,18 @@ from rigl_tpu.layers.packed_dense import PackedDense
 
 
 class _Attention(nn.Module):
-  """Multi-head self-attention with pluggable projection layer factory."""
+  """Multi-head self-attention with pluggable projection layer factory.
+
+  Sequence parallelism (`seq_axis`, set ONLY on the instance applied
+  inside a shard_map whose `seq_axis` mesh axis shards the sequence):
+  x holds this device's contiguous token shard; q stays local, k/v are
+  all-gathered over the axis (context parallelism — every tokenwise op
+  around the attention keeps running on the local shard), and the causal
+  mask compares GLOBAL positions (shard offset = axis_index * s_local)."""
   num_heads: int
   make_proj: Any            # (features, name) -> nn.Module
   dtype: Any = jnp.float32
+  seq_axis: Optional[str] = None
 
   @nn.compact
   def __call__(self, x):
@@ -46,9 +54,19 @@ class _Attention(nn.Module):
     q = q.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
     k = k.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
     v = v.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
+    if self.seq_axis is None:
+      q_pos = jnp.arange(s)
+      k_pos = jnp.arange(s)
+    else:
+      # Gather the full key/value sequence; tiled all_gather concatenates
+      # shards in axis order, i.e. original token order.
+      k = jax.lax.all_gather(k, self.seq_axis, axis=2, tiled=True)
+      v = jax.lax.all_gather(v, self.seq_axis, axis=2, tiled=True)
+      q_pos = jax.lax.axis_index(self.seq_axis) * s + jnp.arange(s)
+      k_pos = jnp.arange(s * jax.lax.axis_size(self.seq_axis))
     logits = jnp.einsum('bhqd,bhkd->bhqk', q, k) / np.sqrt(hd)
     # Causal mask: this family benches/trains as a decoder stack.
-    mask = jnp.tril(jnp.ones((s, s), bool))
+    mask = k_pos[None, :] <= q_pos[:, None]
     logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(v.dtype)
     o = jnp.einsum('bhqk,bhkd->bhqd', probs, v)
@@ -61,13 +79,14 @@ class _Block(nn.Module):
   d_ff: int
   make_proj: Any
   dtype: Any = jnp.float32
+  seq_axis: Optional[str] = None
 
   @nn.compact
   def __call__(self, x):
     b, s, d = x.shape
     h = nn.LayerNorm(dtype=self.dtype, name='ln1')(x)
     x = x + _Attention(self.num_heads, self.make_proj, self.dtype,
-                       name='attn')(h)
+                       self.seq_axis, name='attn')(h)
     h = nn.LayerNorm(dtype=self.dtype, name='ln2')(x)
     h2 = self.make_proj(self.d_ff, 'fc1')(h.reshape(b * s, d))
     h2 = jax.nn.gelu(h2)
@@ -95,6 +114,10 @@ class PackedTransformer(nn.Module):
   # model instance applied inside a shard_map over that mesh axis.
   tp_shards: int = 1
   tp_axis: Optional[str] = None
+  # Sequence (context) parallelism: set ONLY inside a shard_map whose
+  # `seq_axis` mesh axis shards the sequence — inputs/outputs/labels are
+  # local token shards; attention gathers k/v (see _Attention).
+  seq_axis: Optional[str] = None
 
   @nn.compact
   def __call__(self, x):
@@ -115,7 +138,7 @@ class PackedTransformer(nn.Module):
                    dtype=self.dtype, name='embed')(x)
     for i in range(self.num_layers):
       x = _Block(self.num_heads, self.d_ff, proj, self.dtype,
-                 name=f'block{i}')(x)
+                 self.seq_axis, name=f'block{i}')(x)
     x = nn.LayerNorm(dtype=self.dtype, name='ln_f')(x)
     if self.vocab_size:
       # Untied dense head (kept dense like the MLP drivers' classifier).

@@ -75,6 +75,12 @@ class PackedLMConfig:
   # updates / eval / checkpointing are unchanged.
   n_pipe: int = 1
   n_micro: int = 0
+  # Sequence (context) parallelism: n_seq>1 shards the sequence axis over
+  # a 'seq' mesh axis — every tokenwise op (embed, LN, packed FFN/QKV/out
+  # matmuls, head, loss) runs on the local token shard; attention gathers
+  # k/v and masks by global position (models/packed_transformer._Attention).
+  # Composes with n_data and n_model; not with n_pipe.
+  n_seq: int = 1
 
   def model_kwargs(self) -> Dict[str, Any]:
     return dict(num_layers=self.num_layers, d_model=self.d_model,
@@ -123,16 +129,20 @@ class PackedLMTrainer:
     self.dense_twin = DenseTransformer(**cfg.model_kwargs())
     self.mesh = None
     self.model_sharded = None
-    if cfg.n_data > 1 or cfg.n_model > 1 or cfg.n_pipe > 1:
+    if (cfg.n_data > 1 or cfg.n_model > 1 or cfg.n_pipe > 1
+        or cfg.n_seq > 1):
       if cfg.batch_size % cfg.n_data:
         raise ValueError(f'batch_size={cfg.batch_size} must divide '
                          f'n_data={cfg.n_data}')
-      n_dev = cfg.n_data * cfg.n_model * cfg.n_pipe
+      if cfg.n_pipe > 1 and cfg.n_seq > 1:
+        raise ValueError('n_pipe>1 with n_seq>1 is not supported')
+      n_dev = cfg.n_data * cfg.n_model * cfg.n_pipe * cfg.n_seq
       devs = jax.devices()
       if len(devs) < n_dev:
         raise ValueError(f'need {n_dev} devices for mesh '
                          f'({cfg.n_data} data, {cfg.n_pipe} pipe, '
-                         f'{cfg.n_model} model); have {len(devs)}')
+                         f'{cfg.n_seq} seq, {cfg.n_model} model); '
+                         f'have {len(devs)}')
       if cfg.n_pipe > 1:
         if cfg.num_layers % cfg.n_pipe:
           raise ValueError(f'num_layers={cfg.num_layers} must divide '
@@ -144,15 +154,23 @@ class PackedLMTrainer:
         self.mesh = Mesh(np.asarray(devs[:n_dev]).reshape(
             cfg.n_data, cfg.n_pipe, cfg.n_model),
             ('data', 'pipe', 'model'))
+      elif cfg.n_seq > 1:
+        if cfg.seq_len % cfg.n_seq:
+          raise ValueError(f'seq_len={cfg.seq_len} must divide '
+                           f'n_seq={cfg.n_seq}')
+        self.mesh = Mesh(np.asarray(devs[:n_dev]).reshape(
+            cfg.n_data, cfg.n_seq, cfg.n_model), ('data', 'seq', 'model'))
       else:
         self.mesh = Mesh(np.asarray(devs[:n_dev]).reshape(
             cfg.n_data, cfg.n_model), ('data', 'model'))
       # Applied ONLY inside the shard_map'd step: same params/packings
-      # trees, but each device computes its own column group + all_gather.
+      # trees, but each device computes its own column group + all_gather
+      # (and, with n_seq>1, its own token shard + k/v gather).
       self.model_sharded = PackedTransformer(
           sparsity=cfg.sparsity, block=cfg.block, bm=cfg.bm,
           tp_shards=cfg.n_model,
           tp_axis='model' if cfg.n_model > 1 else None,
+          seq_axis='seq' if cfg.n_seq > 1 else None,
           **cfg.model_kwargs())
     sched = optax.linear_schedule(0.0, cfg.learning_rate,
                                   max(cfg.warmup_steps, 1))
@@ -314,21 +332,32 @@ class PackedLMTrainer:
     from jax import shard_map
 
     model = self.model_sharded
+    n_seq = self.cfg.n_seq
     spec_p, spec_pk, spec_os = tp.mesh_spec_trees(
         self.tx, self.params, self.packings, self.opt_state,
         self.cfg.n_model)
+    # With sequence parallelism the batch is sharded (batch, seq): every
+    # device holds its data shard's contiguous token slice; the local CE
+    # mean over equal-size slices pmean's to the global mean, and the
+    # collective transposes (k/v all_gather -> reduce_scatter) route the
+    # cross-shard attention cotangents, so pmean over 'seq' of the local
+    # grads is the exact global gradient.
+    data_spec = P('data', 'seq') if n_seq > 1 else P('data')
 
     def local_step(params, packings, opt_state, x, y):
       loss, g = jax.value_and_grad(
           lambda p: self._loss_with(model, p, packings, x, y))(params)
       loss = jax.lax.pmean(loss, 'data')
       g = jax.lax.pmean(g, 'data')
+      if n_seq > 1:
+        loss = jax.lax.pmean(loss, 'seq')
+        g = jax.lax.pmean(g, 'seq')
       updates, opt_state = self.tx.update(g, opt_state, params)
       return optax.apply_updates(params, updates), opt_state, loss
 
     return jax.jit(shard_map(
         local_step, mesh=self.mesh,
-        in_specs=(spec_p, spec_pk, spec_os, P('data'), P('data')),
+        in_specs=(spec_p, spec_pk, spec_os, data_spec, data_spec),
         out_specs=(spec_p, spec_os, P()), check_vma=False))
 
   def train_step(self, x, y) -> float:
