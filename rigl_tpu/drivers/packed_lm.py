@@ -56,6 +56,15 @@ safe_flags.DEFINE_integer('n_micro', 0, 'microbatches per local batch for '
                           'the pipeline schedule (0 = n_pipe)')
 safe_flags.DEFINE_integer('n_seq', 1, 'sequence-parallel shards (tokens '
                           'shard over the seq axis; attention gathers k/v)')
+safe_flags.DEFINE_integer('n_experts', 0, 'MoE: experts per FFN (0 = dense '
+                          'FFN path); expert kernels are expert-stacked '
+                          'packed storage with per-expert RigL')
+safe_flags.DEFINE_float('capacity_factor', 2.0, 'MoE per-expert token '
+                        'capacity = ceil(local_tokens/E * factor)')
+safe_flags.DEFINE_float('aux_loss_weight', 0.01, 'Switch load-balance '
+                        'aux loss weight')
+safe_flags.DEFINE_integer('n_expert', 1, 'expert-parallel shards (experts '
+                          'shard over the expert axis; tokens all_to_all)')
 
 
 def synthetic_stream(n: int = 200_000, seed: int = 0) -> np.ndarray:
@@ -124,7 +133,11 @@ def main(argv):
       n_model=FLAGS.n_model,
       n_pipe=FLAGS.n_pipe,
       n_micro=FLAGS.n_micro,
-      n_seq=FLAGS.n_seq)
+      n_seq=FLAGS.n_seq,
+      n_experts=FLAGS.n_experts,
+      capacity_factor=FLAGS.capacity_factor,
+      aux_loss_weight=FLAGS.aux_loss_weight,
+      n_expert=FLAGS.n_expert)
 
   trainer = PackedLMTrainer(cfg)
   if FLAGS.output_dir and trainer.restore(FLAGS.output_dir):

@@ -30,9 +30,12 @@ import numpy as np
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
+from rigl_tpu.models.packed_moe import (DenseMoETransformer,
+                                        PackedMoETransformer)
 from rigl_tpu.models.packed_transformer import (DenseTransformer,
                                                 PackedTransformer)
 from rigl_tpu.ops.pallas.block_sparse_packed import make_packing, unpack_dense
+from rigl_tpu.parallel import packed_ep as ep
 from rigl_tpu.parallel import packed_tp as tp
 from rigl_tpu.sparsity.schedules import UpdateSchedule
 from rigl_tpu.transforms import packed_training as pt
@@ -81,6 +84,16 @@ class PackedLMConfig:
   # k/v and masks by global position (models/packed_transformer._Attention).
   # Composes with n_data and n_model; not with n_pipe.
   n_seq: int = 1
+  # Mixture of Experts: n_experts>0 replaces every block's FFN with a
+  # Switch top-1 MoE whose expert kernels are expert-stacked packed
+  # storage (models/packed_moe.py).  n_expert>1 shards the expert axis
+  # over an 'expert' mesh axis (expert parallelism: tokens shard over
+  # (data, expert), one all_to_all each way — parallel/packed_ep.py);
+  # requires n_model == n_pipe == n_seq == 1.
+  n_experts: int = 0
+  capacity_factor: float = 2.0
+  aux_loss_weight: float = 0.01
+  n_expert: int = 1
 
   def model_kwargs(self) -> Dict[str, Any]:
     return dict(num_layers=self.num_layers, d_model=self.d_model,
@@ -103,8 +116,12 @@ def dense_twin_params(params, packings, block):
   for path, v in flat_p.items():
     if path in flat_pk:
       pk = flat_pk[path]
-      dense = (tp.unpack_dense_tp(v, pk, block) if tp.is_stacked(pk)
-               else unpack_dense(v, pk, block))
+      if ep.is_expert_stacked(pk):
+        dense = ep.unpack_dense_experts(v, pk, block)
+      elif tp.is_stacked(pk):
+        dense = tp.unpack_dense_tp(v, pk, block)
+      else:
+        dense = unpack_dense(v, pk, block)
       out[path[:-1] + ('d', 'kernel')] = dense
     else:
       out[path] = v
@@ -123,14 +140,46 @@ class PackedLMTrainer:
       raise ValueError(f'd_model={cfg.d_model} and d_ff={cfg.d_ff} must '
                        f'divide block {cfg.block}')
     self.cfg = cfg
-    self.model = PackedTransformer(sparsity=cfg.sparsity, block=cfg.block,
-                                   bm=cfg.bm, tp_shards=cfg.n_model,
-                                   **cfg.model_kwargs())
-    self.dense_twin = DenseTransformer(**cfg.model_kwargs())
+    if cfg.n_experts > 0:
+      if cfg.n_model > 1 or cfg.n_pipe > 1 or cfg.n_seq > 1:
+        raise ValueError('n_experts>0 composes with n_data/n_expert only')
+      if cfg.n_expert > 1 and cfg.n_experts % cfg.n_expert:
+        raise ValueError(f'n_experts={cfg.n_experts} must divide '
+                         f'n_expert={cfg.n_expert}')
+      moe_kwargs = dict(num_experts=cfg.n_experts,
+                        capacity_factor=cfg.capacity_factor,
+                        **cfg.model_kwargs())
+      self.model = PackedMoETransformer(sparsity=cfg.sparsity,
+                                        block=cfg.block, bm=cfg.bm,
+                                        **moe_kwargs)
+      self.dense_twin = DenseMoETransformer(**moe_kwargs)
+    else:
+      self.model = PackedTransformer(sparsity=cfg.sparsity, block=cfg.block,
+                                     bm=cfg.bm, tp_shards=cfg.n_model,
+                                     **cfg.model_kwargs())
+      self.dense_twin = DenseTransformer(**cfg.model_kwargs())
     self.mesh = None
     self.model_sharded = None
-    if (cfg.n_data > 1 or cfg.n_model > 1 or cfg.n_pipe > 1
-        or cfg.n_seq > 1):
+    if cfg.n_experts > 0 and (cfg.n_expert > 1 or cfg.n_data > 1):
+      n_dev = cfg.n_data * cfg.n_expert
+      devs = jax.devices()
+      if len(devs) < n_dev:
+        raise ValueError(f'need {n_dev} devices for mesh '
+                         f'({cfg.n_data} data, {cfg.n_expert} expert); '
+                         f'have {len(devs)}')
+      # Tokens shard over BOTH axes (P(('data','expert')) on the batch):
+      # the all_to_all over 'expert' routes them to their experts.
+      if cfg.batch_size % n_dev:
+        raise ValueError(f'batch_size={cfg.batch_size} must divide '
+                         f'n_data*n_expert={n_dev}')
+      self.mesh = Mesh(np.asarray(devs[:n_dev]).reshape(
+          cfg.n_data, cfg.n_expert), ('data', 'expert'))
+      self.model_sharded = PackedMoETransformer(
+          sparsity=cfg.sparsity, block=cfg.block, bm=cfg.bm,
+          ep_axis='expert', num_experts=cfg.n_experts,
+          capacity_factor=cfg.capacity_factor, **cfg.model_kwargs())
+    elif (cfg.n_data > 1 or cfg.n_model > 1 or cfg.n_pipe > 1
+          or cfg.n_seq > 1):
       if cfg.batch_size % cfg.n_data:
         raise ValueError(f'batch_size={cfg.batch_size} must divide '
                          f'n_data={cfg.n_data}')
@@ -204,12 +253,19 @@ class PackedLMTrainer:
 
   # -------------------------------------------------------------- loss ----
   def _loss_with(self, model, params, packings, x, y):
-    lg = model.apply({'params': params, 'packing': packings}, x)
+    aux = 0.0
+    if self.cfg.n_experts > 0:
+      lg, inter = model.apply({'params': params, 'packing': packings}, x,
+                              mutable=['intermediates'])
+      # Switch load-balance loss: sum of every layer's sown moe_aux.
+      aux = sum(jax.tree.leaves(inter['intermediates']))
+    else:
+      lg = model.apply({'params': params, 'packing': packings}, x)
     lg = lg.astype(jnp.float32)
     b, s = y.shape
     ll = jax.nn.log_softmax(lg)[jnp.arange(b)[:, None],
                                 jnp.arange(s)[None, :], y]
-    return -jnp.mean(ll)
+    return -jnp.mean(ll) + self.cfg.aux_loss_weight * aux
 
   def _loss(self, params, packings, x, y):
     return self._loss_with(self.model, params, packings, x, y)
@@ -229,6 +285,8 @@ class PackedLMTrainer:
         return optax.apply_updates(params, updates), opt_state, loss
 
       return step_fn
+    if self.cfg.n_experts > 0:
+      return self._make_ep_step()
     if self.cfg.n_pipe > 1:
       return self._make_pp_step()
     return self._make_sharded_step()
@@ -352,6 +410,39 @@ class PackedLMTrainer:
       if n_seq > 1:
         loss = jax.lax.pmean(loss, 'seq')
         g = jax.lax.pmean(g, 'seq')
+      updates, opt_state = self.tx.update(g, opt_state, params)
+      return optax.apply_updates(params, updates), opt_state, loss
+
+    return jax.jit(shard_map(
+        local_step, mesh=self.mesh,
+        in_specs=(spec_p, spec_pk, spec_os, data_spec, data_spec),
+        out_specs=(spec_p, spec_os, P()), check_vma=False))
+
+  def _make_ep_step(self):
+    """One expert-parallel train step over the ('data', 'expert') mesh:
+    tokens shard over BOTH axes, expert-stacked kernels (and their
+    optimizer slots) shard the expert axis, the MoE layer all_to_all's
+    token slabs each way (parallel/packed_ep.py).  Expert dw is complete
+    over 'expert' by construction (each device's experts see every row
+    token destined for them), so it pmeans over 'data' only; all other
+    grads and the loss pmean over both axes."""
+    from jax import shard_map
+
+    model = self.model_sharded
+    spec_p, spec_pk, spec_os, expert_paths = ep.ep_spec_trees(
+        self.tx, self.params, self.packings, self.opt_state)
+    data_spec = P(('data', 'expert'))
+
+    def local_step(params, packings, opt_state, x, y):
+      loss, g = jax.value_and_grad(
+          lambda p: self._loss_with(model, p, packings, x, y))(params)
+      loss = jax.lax.pmean(loss, ('data', 'expert'))
+      flat_g = traverse.flatten_dict(g)
+      flat_g = {
+          p: (jax.lax.pmean(v, 'data') if p in expert_paths
+              else jax.lax.pmean(v, ('data', 'expert')))
+          for p, v in flat_g.items()}
+      g = traverse.unflatten_dict(flat_g)
       updates, opt_state = self.tx.update(g, opt_state, params)
       return optax.apply_updates(params, updates), opt_state, loss
 
@@ -499,8 +590,12 @@ class PackedLMTrainer:
             'last_update': np.asarray(self.last_update_step),
             'batches_seen': np.asarray(self.batches_seen)}
     for p, pk in traverse.flatten_dict(self.packings).items():
-      occ = (tp.tp_occupancy_grid(pk) if tp.is_stacked(pk)
-             else pt.occupancy_grid(pk))
+      if ep.is_expert_stacked(pk):
+        occ = ep.expert_occupancy_grid(pk)        # (E, nk, nn)
+      elif tp.is_stacked(pk):
+        occ = tp.tp_occupancy_grid(pk)
+      else:
+        occ = pt.occupancy_grid(pk)
       flat['occ_' + '/'.join(p)] = np.asarray(occ)
     for p, v in traverse.flatten_dict(self.params).items():
       flat['param_' + '/'.join(p)] = np.asarray(v)
@@ -524,7 +619,10 @@ class PackedLMTrainer:
     new_pk, new_p = {}, {}
     for p in flat_pk:
       occ = jnp.asarray(z['occ_' + '/'.join(p)])
-      if tp.is_stacked(flat_pk[p]):
+      if ep.is_expert_stacked(flat_pk[p]):
+        # (E, nk, nn) occupancy; per-expert cap is the static shard shape.
+        new_pk[p] = ep.expert_packing_from_occ(occ, int(flat_p[p].shape[1]))
+      elif tp.is_stacked(flat_pk[p]):
         # Stacked layout: per-group cap is the static shard shape.
         new_pk[p] = tp.stacked_packing_from_occ(
             occ, int(flat_p[p].shape[0]), int(flat_p[p].shape[1]))

@@ -187,6 +187,7 @@ def flax_packed_rigl_update(params, packings, opt_state, tx, dense_grads,
   import flax.traverse_util as tv
   import optax
   from rigl_tpu.ops.block_mask import pool_to_blocks
+  from rigl_tpu.parallel import packed_ep as ep
   from rigl_tpu.parallel import packed_tp as tp
 
   flat_p = dict(tv.flatten_dict(params))
@@ -199,6 +200,22 @@ def flax_packed_rigl_update(params, packings, opt_state, tx, dense_grads,
       grown_flat[path] = empty
       continue
     pk = flat_pk[path]
+    if ep.is_expert_stacked(pk):
+      # Expert-stacked kernel (MoE): dense grads are (E, K, N); drop/grow
+      # runs independently per expert (static per-expert counts are the
+      # shard shapes; perm/grown carry the expert axis — the same 2-D
+      # opt-slot fix as TP stacking applies).
+      grids = jnp.stack([
+          pool_to_blocks(jnp.abs(dense_grads[path][e].astype(jnp.float32)),
+                         block, 'sum')
+          for e in range(dense_grads[path].shape[0])])
+      out_ep = ep.expert_drop_grow(flat_p[path], pk, grids, drop_fraction)
+      perm_flat[path] = out_ep.perm
+      grown_flat[path] = out_ep.grown
+      flat_p[path] = out_ep.packed
+      flat_pk[path] = out_ep.packing
+      occ[path] = out_ep.occupancy
+      continue
     grid = pool_to_blocks(jnp.abs(dense_grads[path].astype(jnp.float32)),
                           block, 'sum')
     if tp.is_stacked(pk):
