@@ -24,6 +24,9 @@ Three workloads (BENCH_WORKLOAD):
       every parameter matmul on packed storage vs the equal-dtype dense
       twin; attention/LN mass dense in both arms.  Measured r2: 1.68x
       gross at s=0.8, 2.10x at s=0.9 (PERF.md session 5).
+  moe — 2-layer Switch top-1 MoE decoder (8 experts, d_model 1024,
+      d_ff 4096) with expert kernels on expert-stacked packed storage vs
+      the identical-routing dense twin (scripts/bench_packed_moe.py).
 
 Runs on whatever jax.default_backend() provides (real TPU under the driver);
 scales shapes down automatically on CPU so it stays runnable anywhere.
@@ -126,6 +129,38 @@ def main_transformer():
   result = {
       'metric': (f'transformer{b.LAYERS}x{b.D_MODEL}'
                  f'_packed{int(float(os.environ["TR_SPARSITY"]) * 100)}'
+                 '_train_step_speedup_vs_dense'),
+      'value': round(t_dense / t_packed, 4),
+      'unit': 'x dense (gross step ratio)',
+      'vs_baseline': round(t_dense / t_packed, 4),
+  }
+  print(json.dumps(result))
+
+
+def main_moe():
+  """BENCH_WORKLOAD=moe: packed expert-stacked MoE train step vs its
+  dense twin (scripts/bench_packed_moe.py).  Router/dispatch/combine and
+  attention/LN mass are identical in both arms; the delta is the expert
+  and projection matmuls' storage/compute representation."""
+  import jax
+  sparsity = float(os.environ.get('BENCH_SPARSITY', '0.8'))
+  os.environ.setdefault('MOE_SPARSITY', str(sparsity))
+  if jax.default_backend() == 'cpu':
+    os.environ.setdefault('MOE_D_MODEL', '64')
+    os.environ.setdefault('MOE_D_FF', '128')
+    os.environ.setdefault('MOE_HEADS', '4')
+    os.environ.setdefault('MOE_SEQ', '32')
+    os.environ.setdefault('MOE_BATCH', '2')
+    os.environ.setdefault('MOE_EXPERTS', '4')
+    os.environ.setdefault('MOE_ITERS', '2')
+    os.environ.setdefault('MOE_BLOCK', '16,16')
+    os.environ.setdefault('MOE_BM', '32')
+  sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+  from scripts import bench_packed_moe as b
+  t_dense, t_packed = b.main()
+  result = {
+      'metric': (f'moe{b.LAYERS}x{b.D_MODEL}x{b.EXPERTS}e'
+                 f'_packed{int(float(os.environ["MOE_SPARSITY"]) * 100)}'
                  '_train_step_speedup_vs_dense'),
       'value': round(t_dense / t_packed, 4),
       'unit': 'x dense (gross step ratio)',
@@ -254,5 +289,7 @@ if __name__ == '__main__':
     main_mlp()
   elif _workload == 'transformer':
     main_transformer()
+  elif _workload == 'moe':
+    main_moe()
   else:
     main()

@@ -7,7 +7,9 @@ runs), with RigL drop/grow ON packed storage.
 Arms (2-layer decoder, d_model 128, d_ff 512, seq 128, lr 1e-3 Adam):
   dense         — packed storage at sparsity 0 (== dense matmuls);
   packed_rigl   — sparsity 0.8 with drop/grow every 100 steps;
-  packed_static — sparsity 0.8, topology frozen at init.
+  packed_static — sparsity 0.8, topology frozen at init;
+  moe_rigl      — Switch top-1 MoE (4 experts, expert-stacked packed
+                  kernels, per-expert drop/grow; LM_ARMS=moe_rigl).
 
 Reported: eval cross-entropy (nats/byte) on a held-out 10% suffix split.
 
@@ -54,6 +56,7 @@ def run_arm(arm, train_tokens, eval_tokens):
   ces, updates, n_packed, n_dense = [], 0, 0, 0
   for seed in SEEDS:
     cfg = PackedLMConfig(
+        n_experts=4 if arm.startswith('moe') else 0,
         sparsity=sparsity, train_steps=STEPS,
         maskupdate_begin_step=0,
         maskupdate_end_step=0 if (static or arm == 'dense')
