@@ -26,7 +26,10 @@ safe_flags.DEFINE_multi_string('override', [],
                           'field=value overrides (value parsed as python '
                           'literal when possible)')
 safe_flags.DEFINE_string('output_dir', None, '')
-flags.mark_flag_as_required('config')
+# NOTE: --config is required, but enforced inside main() rather than via
+# flags.mark_flag_as_required: that installs a process-global validator on
+# FLAGS at import time, which breaks any OTHER driver parsing its own argv
+# in the same process (e.g. the test suite driving drivers.packed_mlp).
 
 
 def load_config(path: str, overrides=()) -> TrainConfig:
@@ -45,6 +48,8 @@ def load_config(path: str, overrides=()) -> TrainConfig:
 
 def main(argv):
   del argv
+  if not FLAGS.config:
+    raise app.UsageError('--config is required')
   cfg = load_config(FLAGS.config, FLAGS.override)
   if FLAGS.output_dir:
     cfg.checkpoint_dir = FLAGS.output_dir

@@ -238,6 +238,29 @@ def _dw_kernel(cols_ref, rows_ref, x_ref, g_ref, o_ref, acc_ref):
     o_ref[0] = acc_ref[:].astype(o_ref.dtype)
 
 
+def _dw_panel_kernel(cols_ref, rows_ref, x_ref, g_ref, o_ref, acc_ref, *,
+                     bm):
+  """Column-panel dw: g_ref holds the block's FULL (m, bn) output-gradient
+  column panel; its BlockSpec index depends only on cols[s], and actives
+  are column-major, so Mosaic fetches each panel once per column run
+  instead of once per (active block, m-tile) pair."""
+  ms = pl.program_id(1)
+  nms = pl.num_programs(1)
+
+  @pl.when(ms == 0)
+  def _():
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+
+  acc_ref[:] += jax.lax.dot_general(
+      x_ref[:], g_ref[pl.ds(ms * bm, bm), :],
+      dimension_numbers=(((0,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32)
+
+  @pl.when(ms == nms - 1)
+  def _():
+    o_ref[0] = acc_ref[:].astype(o_ref.dtype)
+
+
 def _dw_call(x, gy, packing, block, bm, interpret, out_dtype):
   """Packed dw: grid (n_active, M/bm), auto-pipelined x/g tiles, each
   active block's accumulator flushes straight into its packed slot."""
@@ -254,6 +277,29 @@ def _dw_call(x, gy, packing, block, bm, interpret, out_dtype):
   act = jnp.argsort(1 - valid, stable=True)[:n_act]
   acols = cols[act]
   arows = rows[act]
+  # Column-panel variant: keep the whole (m, bn) g panel resident across a
+  # column's active blocks (actives are column-major), so g traffic drops
+  # from n_act*m*bn to one pass m*N.  Profitable only when columns average
+  # >1 active block (n_act > nn) and the double-buffered panel fits VMEM.
+  g_panel_bytes = 2 * m * bn * gy.dtype.itemsize
+  use_panel = n_act > nn and g_panel_bytes + 2 * bm * bk * 2 <= 12 * 2 ** 20
+  if use_panel:
+    return pl.pallas_call(
+        functools.partial(_dw_panel_kernel, bm=bm),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_act, m // bm),
+            in_specs=[
+                pl.BlockSpec((bm, bk), lambda s, ms, c, r: (ms, r[s])),
+                pl.BlockSpec((m, bn), lambda s, ms, c, r: (0, c[s])),
+            ],
+            out_specs=pl.BlockSpec((1, bk, bn),
+                                   lambda s, ms, c, r: (s, 0, 0)),
+            scratch_shapes=[pltpu.VMEM((bk, bn), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_act, bk, bn), out_dtype),
+        interpret=interpret,
+    )(acols, arows, x, gy)
   return pl.pallas_call(
       _dw_kernel,
       grid_spec=pltpu.PrefetchScalarGridSpec(

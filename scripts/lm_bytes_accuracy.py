@@ -32,9 +32,18 @@ ARMS = os.environ.get('LM_ARMS', 'dense,packed_rigl,packed_static'
                       ).split(',')
 SEEDS = [int(s) for s in os.environ.get('LM_SEEDS', '0,1').split(',')]
 
-CFG = dict(vocab_size=256, num_layers=2, d_model=128, d_ff=512, num_heads=4,
-           seq_len=128, block=(16, 16), bm=128, learning_rate=1e-3,
-           warmup_steps=50, batch_size=8)
+# Defaults sized for CPU interpret-mode; on the real chip override to a
+# TPU-legal block, e.g. LM_D_MODEL=512 LM_D_FF=2048 LM_HEADS=8 LM_BATCH=16
+# LM_BLOCK=128,128 LM_BM=512 (Mosaic requires block dims (8k, 128k)).
+_BLOCK = tuple(int(v) for v in os.environ.get('LM_BLOCK', '16,16').split(','))
+CFG = dict(vocab_size=256, num_layers=2,
+           d_model=int(os.environ.get('LM_D_MODEL', 128)),
+           d_ff=int(os.environ.get('LM_D_FF', 512)),
+           num_heads=int(os.environ.get('LM_HEADS', 4)),
+           seq_len=int(os.environ.get('LM_SEQ', 128)),
+           block=_BLOCK, bm=int(os.environ.get('LM_BM', 128)),
+           learning_rate=1e-3, warmup_steps=50,
+           batch_size=int(os.environ.get('LM_BATCH', 8)))
 
 
 def load_repo_bytes() -> np.ndarray:

@@ -338,3 +338,36 @@ def test_packed_dense_trains():
     params, opt, loss = step(params, opt)
     losses.append(float(loss))
   assert losses[-1] < losses[0] * 0.8
+
+
+@pytest.mark.parametrize('n_act,branch', [(12, 'panel'), (4, 'perblock')])
+def test_packed_dw_matches_dense_oracle_both_branches(n_act, branch):
+  """dw parity through both _dw_call paths: the column-panel variant
+  (selected when columns average >1 active block, n_act > nn) and the
+  per-block tile path.  Oracle: dense matmul grads packed post-hoc."""
+  rs = np.random.RandomState(3)
+  nk, nn, blk, m = 4, 8, (16, 16), 64
+  occ = np.zeros(nk * nn, np.int32)
+  occ[rs.choice(nk * nn, n_act, replace=False)] = 1
+  occ = jnp.asarray(occ.reshape(nk, nn))
+  assert (n_act > nn) == (branch == 'panel')
+  packing = bsp.make_packing(occ, n_act)
+  kdim, ndim = nk * blk[0], nn * blk[1]
+  mask = bm_lib.expand_from_blocks(occ, (kdim, ndim), blk)
+  w = jnp.asarray(rs.randn(kdim, ndim), jnp.float32) * mask
+  packed = bsp.pack_dense(w, packing, blk)
+  x = jnp.asarray(rs.randn(m, kdim), jnp.float32)
+
+  def f(x, wp):
+    return jnp.sum(jnp.sin(bsp.packed_matmul(x, wp, packing, blk, 16)))
+
+  gx, gw = jax.grad(f, argnums=(0, 1))(x, packed)
+
+  def f_dense(x, w):
+    return jnp.sum(jnp.sin(x @ w))
+
+  gx_d, gw_d = jax.grad(f_dense, argnums=(0, 1))(x, w)
+  np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_d), atol=1e-4)
+  np.testing.assert_allclose(np.asarray(gw),
+                             np.asarray(bsp.pack_dense(gw_d, packing, blk)),
+                             atol=1e-4)
