@@ -129,6 +129,7 @@ class _MoEFFN(nn.Module):
   capacity_factor: float = 2.0
   dtype: Any = jnp.float32
   ep_axis: Optional[str] = None
+  token_axes: Tuple[str, ...] = ()
 
   @nn.compact
   def __call__(self, x):
@@ -140,7 +141,8 @@ class _MoEFFN(nn.Module):
                       name='router')(x2d.astype(jnp.float32))
     capacity = max(int(np.ceil(t / self.num_experts
                                * self.capacity_factor)), 1)
-    dispatch, combine, aux = ep.top1_dispatch(logits, capacity)
+    dispatch, combine, aux = ep.top1_dispatch(logits, capacity,
+                                              self.token_axes)
     self.sow('intermediates', 'moe_aux', aux)
     xe = jnp.einsum('td,tec->ecd', x2d.astype(jnp.float32),
                     dispatch).astype(self.dtype)
@@ -164,6 +166,7 @@ class _MoEBlock(nn.Module):
   capacity_factor: float = 2.0
   dtype: Any = jnp.float32
   ep_axis: Optional[str] = None
+  token_axes: Tuple[str, ...] = ()
 
   @nn.compact
   def __call__(self, x):
@@ -173,7 +176,7 @@ class _MoEBlock(nn.Module):
     h = nn.LayerNorm(dtype=self.dtype, name='ln2')(x)
     return x + _MoEFFN(self.d_ff, self.num_experts, self.make_experts,
                        self.capacity_factor, self.dtype, self.ep_axis,
-                       name='moe')(h)
+                       self.token_axes, name='moe')(h)
 
 
 class PackedMoETransformer(nn.Module):
@@ -195,6 +198,10 @@ class PackedMoETransformer(nn.Module):
   bm: int = 128
   dtype: Any = jnp.float32
   ep_axis: Optional[str] = None
+  # Mesh axes the TOKEN set shards over inside a shard_map (e.g.
+  # ('data', 'expert')): the MoE aux-loss statistics pmean over these so
+  # the sharded aux matches the global-token aux exactly.
+  token_axes: Tuple[str, ...] = ()
 
   @nn.compact
   def __call__(self, x):
@@ -218,7 +225,7 @@ class PackedMoETransformer(nn.Module):
     for i in range(self.num_layers):
       x = _MoEBlock(self.num_heads, self.d_ff, self.num_experts, proj,
                     experts, self.capacity_factor, self.dtype,
-                    self.ep_axis, name=f'block{i}')(x)
+                    self.ep_axis, self.token_axes, name=f'block{i}')(x)
     x = nn.LayerNorm(dtype=self.dtype, name='ln_f')(x)
     if self.vocab_size:
       x = nn.Dense(self.vocab_size, use_bias=False, dtype=self.dtype,

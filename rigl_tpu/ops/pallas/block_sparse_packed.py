@@ -271,6 +271,15 @@ def _dw_call(x, gy, packing, block, bm, interpret, out_dtype):
   n_act = cols.shape[0] - nn
   if n_act == 0:
     return jnp.zeros((0, bk, bn), out_dtype)
+  # bm must divide m or trailing rows silently drop from dw: clamp by
+  # halving (mirror of _mm_call's _clamp_bm) and fail loudly if no
+  # power-of-two reduction of the request divides m.
+  while bm > 8 and m % bm:
+    bm //= 2
+  if m % bm:
+    raise ValueError(
+        f'packed dw: no bm halved from the request divides m ({m}); pad '
+        'the row axis to a multiple of 8 (PackedDense does this).')
   # dw grid wants actives only, ordered by slot: slot s holds the s-th
   # active entry in fwd order, so gather coords at the positions where
   # valid == 1 — which is exactly argsort of (1 - valid) stable, truncated.
@@ -280,9 +289,14 @@ def _dw_call(x, gy, packing, block, bm, interpret, out_dtype):
   # Column-panel variant: keep the whole (m, bn) g panel resident across a
   # column's active blocks (actives are column-major), so g traffic drops
   # from n_act*m*bn to one pass m*N.  Profitable only when columns average
-  # >1 active block (n_act > nn) and the double-buffered panel fits VMEM.
-  g_panel_bytes = 2 * m * bn * gy.dtype.itemsize
-  use_panel = n_act > nn and g_panel_bytes + 2 * bm * bk * 2 <= 12 * 2 ** 20
+  # >1 active block (n_act > nn) and the working set fits scoped VMEM:
+  # double-buffered g panel + x tile (actual dtypes) + double-buffered
+  # packed out tile + f32 accumulator, same 13MB budget as _clamp_bm.
+  panel_need = (2 * m * bn * gy.dtype.itemsize
+                + 2 * bm * bk * x.dtype.itemsize
+                + 2 * bk * bn * jnp.dtype(out_dtype).itemsize
+                + bk * bn * 4)
+  use_panel = n_act > nn and panel_need <= 13 * 2 ** 20
   if use_panel:
     return pl.pallas_call(
         functools.partial(_dw_panel_kernel, bm=bm),

@@ -109,12 +109,19 @@ def unpack_dense_experts(packed, pk: ExpertPacking, block: Tuple[int, int],
 
 
 # ------------------------------------------------------------- routing ----
-def top1_dispatch(logits: jnp.ndarray, capacity: int):
+def top1_dispatch(logits: jnp.ndarray, capacity: int,
+                  token_axes: Tuple[str, ...] = ()):
   """Switch-Transformer top-1 routing with a static per-expert capacity.
 
   Args:
     logits: (T, E) router logits (any float dtype; softmax in f32).
     capacity: static per-expert token capacity C.
+    token_axes: mesh axes the token set is sharded over (inside a
+      shard_map).  The aux load-balance statistics (frac, mean_prob) are
+      pmean'd over these axes BEFORE the product, so the sharded aux
+      equals the global-token-set aux — E*sum(frac*mean_prob) is
+      nonlinear in the token distribution, so a per-shard aux averaged
+      afterwards would diverge from the single-device value.
 
   Returns:
     dispatch: (T, E, C) 0/1 f32 — token t occupies slot c of expert e.
@@ -141,6 +148,9 @@ def top1_dispatch(logits: jnp.ndarray, capacity: int):
   combine = dispatch * gate[:, None, None]
   frac = jnp.mean(onehot, axis=0)
   mean_prob = jnp.mean(probs, axis=0)
+  if token_axes:
+    frac = jax.lax.pmean(frac, token_axes)
+    mean_prob = jax.lax.pmean(mean_prob, token_axes)
   aux = E * jnp.sum(frac * mean_prob)
   return dispatch, combine, aux
 

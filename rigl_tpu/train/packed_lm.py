@@ -174,9 +174,13 @@ class PackedLMTrainer:
                          f'n_data*n_expert={n_dev}')
       self.mesh = Mesh(np.asarray(devs[:n_dev]).reshape(
           cfg.n_data, cfg.n_expert), ('data', 'expert'))
+      # token_axes: the aux load-balance statistics pmean over the
+      # token-sharding axes so the sharded aux equals the single-device
+      # aux bit-for-bit (it is nonlinear in the token distribution).
       self.model_sharded = PackedMoETransformer(
           sparsity=cfg.sparsity, block=cfg.block, bm=cfg.bm,
-          ep_axis='expert', num_experts=cfg.n_experts,
+          ep_axis='expert', token_axes=('data', 'expert'),
+          num_experts=cfg.n_experts,
           capacity_factor=cfg.capacity_factor, **cfg.model_kwargs())
     elif (cfg.n_data > 1 or cfg.n_model > 1 or cfg.n_pipe > 1
           or cfg.n_seq > 1):

@@ -36,6 +36,9 @@ SEEDS = [int(s) for s in os.environ.get('LM_SEEDS', '0,1').split(',')]
 # TPU-legal block, e.g. LM_D_MODEL=512 LM_D_FF=2048 LM_HEADS=8 LM_BATCH=16
 # LM_BLOCK=128,128 LM_BM=512 (Mosaic requires block dims (8k, 128k)).
 _BLOCK = tuple(int(v) for v in os.environ.get('LM_BLOCK', '16,16').split(','))
+if len(_BLOCK) != 2:
+  raise SystemExit(f'LM_BLOCK must be "bk,bn" (two ints), got '
+                   f'{os.environ.get("LM_BLOCK")!r}')
 CFG = dict(vocab_size=256, num_layers=2,
            d_model=int(os.environ.get('LM_D_MODEL', 128)),
            d_ff=int(os.environ.get('LM_D_FF', 512)),
@@ -44,6 +47,11 @@ CFG = dict(vocab_size=256, num_layers=2,
            block=_BLOCK, bm=int(os.environ.get('LM_BM', 128)),
            learning_rate=1e-3, warmup_steps=50,
            batch_size=int(os.environ.get('LM_BATCH', 8)))
+for _dim_name in ('d_model', 'd_ff'):
+  for _b in _BLOCK:
+    if CFG[_dim_name] % _b:
+      raise SystemExit(f'LM_BLOCK={_BLOCK} must divide '
+                       f'{_dim_name}={CFG[_dim_name]}')
 
 
 def load_repo_bytes() -> np.ndarray:
