@@ -240,6 +240,7 @@ class PackedLMTrainer:
     self.batches_seen = 0
     self._jit_step = None
     self._jit_update = None
+    self._jit_scan = None
 
   # ------------------------------------------------------------- state ----
   def init_state(self):
@@ -254,6 +255,7 @@ class PackedLMTrainer:
     self.last_update_step = self.schedule.initial_last_update_step
     self._jit_step = None
     self._jit_update = None
+    self._jit_scan = None
 
   # -------------------------------------------------------------- loss ----
   def _loss_with(self, model, params, packings, x, y):
@@ -465,6 +467,40 @@ class PackedLMTrainer:
   def is_update_step(self, step: int) -> bool:
     return bool(self.schedule.is_update_iter(step, self.last_update_step))
 
+  def _make_jit_scan(self):
+    """K consecutive train steps as ONE lax.scan inside one jit program.
+
+    Removes the per-step host round-trip — the dominant cost over the
+    remote-TPU tunnel at small model sizes (CLAUDE.md) — while computing
+    bit-identically to K train_step calls: the scan body is the same
+    loss/grad/adam update, and the optimizer count (which drives the LR
+    warmup schedule) rides in opt_state, so warmup stays exact.  The
+    TPU-loop analogue of the reference's iterations_per_loop
+    (TPUEstimator; rigl/imagenet_resnet/imagenet_train_eval.py keeps the
+    train loop on-device between host callbacks)."""
+    @jax.jit
+    def scan_fn(params, packings, opt_state, xs, ys):
+      def body(carry, batch):
+        params, opt_state = carry
+        x, y = batch
+        loss, g = jax.value_and_grad(
+            lambda p: self._loss(p, packings, x, y))(params)
+        updates, opt_state = self.tx.update(g, opt_state, params)
+        return (optax.apply_updates(params, updates), opt_state), loss
+      (params, opt_state), losses = jax.lax.scan(
+          body, (params, opt_state), (xs, ys))
+      return params, opt_state, losses
+    return scan_fn
+
+  def train_chunk(self, xs, ys) -> float:
+    """xs/ys: (k, batch, seq) — k gradient steps in one device program.
+    Single-device (mesh-None) fast path; counters advance in train()."""
+    if self._jit_scan is None:
+      self._jit_scan = self._make_jit_scan()
+    self.params, self.opt_state, losses = self._jit_scan(
+        self.params, self.packings, self.opt_state, xs, ys)
+    return float(losses[-1])
+
   def _make_jit_update(self):
     """The WHOLE drop/grow update as one jitted program (dense-twin grads +
     flax_packed_rigl_update are jit-traceable with static shapes), with
@@ -547,23 +583,48 @@ class PackedLMTrainer:
     return jnp.asarray(wins[:, :-1]), jnp.asarray(wins[:, 1:])
 
   def train(self, train_tokens: np.ndarray, eval_tokens=None,
-            progress_fn=None, log_every: int = 0) -> Dict[str, Any]:
+            progress_fn=None, log_every: int = 0,
+            steps_per_loop: int = 1,
+            eval_windows: int = 64) -> Dict[str, Any]:
+    """steps_per_loop > 1 (single-device only): run up to that many
+    consecutive gradient steps as one lax.scan program (train_chunk),
+    breaking at mask-update iters so drop/grow semantics — and the
+    batch stream, sampled host-side one batch at a time — are
+    bit-identical to the per-step loop (tested)."""
     cfg = self.cfg
     if self.opt_state is None:
       self.init_state()
+    use_scan = steps_per_loop > 1 and self.mesh is None
     n_updates = 0
     loss = float('nan')
     while self.step < cfg.train_steps:
-      x, y = self.sample_batch(train_tokens)
       if self.is_update_step(self.step):
         # RigL consumes a batch without advancing the step counter
         # (reference skip-apply semantics, sparse_optimizers_base.py).
+        x, y = self.sample_batch(train_tokens)
         self.mask_update(x, y)
         n_updates += 1
         continue
-      loss = self.train_step(x, y)
-      self.step += 1
-      if log_every and self.step % log_every == 0 and progress_fn:
+      # Length of the run of plain gradient steps starting here: stop at
+      # train_steps, the chunk cap, or the next update iter (predicted
+      # exactly — last_update_step cannot change inside the run).
+      k = 1
+      while (use_scan and k < steps_per_loop
+             and self.step + k < cfg.train_steps
+             and not self.schedule.is_update_iter(self.step + k,
+                                                  self.last_update_step)):
+        k += 1
+      if k == 1:
+        x, y = self.sample_batch(train_tokens)
+        loss = self.train_step(x, y)
+      else:
+        batches = [self.sample_batch(train_tokens) for _ in range(k)]
+        loss = self.train_chunk(jnp.stack([b[0] for b in batches]),
+                                jnp.stack([b[1] for b in batches]))
+      crossed = (self.step + k) // log_every - self.step // log_every \
+          if log_every else 0
+      self.step += k
+      if crossed and progress_fn:
         progress_fn({'step': self.step, 'loss': loss})
     flat_p = traverse.flatten_dict(self.params)
     flat_pk = traverse.flatten_dict(self.packings)
@@ -580,7 +641,7 @@ class PackedLMTrainer:
               'n_params_packed': n_packed,
               'n_params_dense_equiv': n_dense_equiv}
     if eval_tokens is not None:
-      ce = self.evaluate(np.asarray(eval_tokens))
+      ce = self.evaluate(np.asarray(eval_tokens), max_windows=eval_windows)
       result['eval_ce_nats'] = ce
       result['eval_ppl'] = float(np.exp(min(ce, 30.0)))
     return result

@@ -20,6 +20,7 @@ import glob
 import json
 import os
 import sys
+import time
 
 import numpy as np
 
@@ -27,7 +28,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 STEPS = int(os.environ.get('LM_STEPS', 1000))
-SPARSITY = float(os.environ.get('LM_SPARSITY', 0.8))
+# One or more sparsity operating points; sparse arms run at each, the
+# dense arm once (LM_SPARSITIES takes precedence over LM_SPARSITY).
+SPARSITIES = [float(s) for s in os.environ.get(
+    'LM_SPARSITIES', os.environ.get('LM_SPARSITY', '0.8')).split(',')]
 ARMS = os.environ.get('LM_ARMS', 'dense,packed_rigl,packed_static'
                       ).split(',')
 SEEDS = [int(s) for s in os.environ.get('LM_SEEDS', '0,1').split(',')]
@@ -66,9 +70,9 @@ def load_repo_bytes() -> np.ndarray:
   return np.concatenate(chunks).astype(np.int32)
 
 
-def run_arm(arm, train_tokens, eval_tokens):
+def run_arm(arm, train_tokens, eval_tokens, arm_sparsity):
   from rigl_tpu.train.packed_lm import PackedLMConfig, PackedLMTrainer
-  sparsity = 0.0 if arm == 'dense' else SPARSITY
+  sparsity = 0.0 if arm == 'dense' else arm_sparsity
   static = arm == 'packed_static'
   ces, updates, n_packed, n_dense = [], 0, 0, 0
   for seed in SEEDS:
@@ -83,7 +87,18 @@ def run_arm(arm, train_tokens, eval_tokens):
         else 'cosine',
         seed=seed, **CFG)
     tr = PackedLMTrainer(cfg)
-    res = tr.train(train_tokens, eval_tokens=eval_tokens)
+    res = tr.train(
+        train_tokens, eval_tokens=eval_tokens,
+        # lax.scan-chunked loop (bit-identical to per-step; tested):
+        # essential over the remote-TPU tunnel where a per-step host
+        # readback would dominate at these model sizes.
+        steps_per_loop=int(os.environ.get('LM_STEPS_PER_LOOP', 100)),
+        eval_windows=int(os.environ.get('LM_EVAL_WINDOWS', 64)),
+        log_every=int(os.environ.get('LM_LOG_EVERY', 1000)),
+        progress_fn=lambda m: print(
+            f'# t={time.time():.0f} {arm} s={sparsity} seed={seed} '
+            f'step={m["step"]} loss={m["loss"]:.4f}',
+            file=sys.stderr, flush=True))
     ces.append(res['eval_ce_nats'])
     updates = res['mask_updates']
     n_packed, n_dense = res['n_params_packed'], res['n_params_dense_equiv']
@@ -103,8 +118,12 @@ def main():
   train_tokens, eval_tokens = tokens[:split], tokens[split:]
   print(f'# repo bytes: {len(train_tokens)} train / {len(eval_tokens)} eval')
   out = {}
-  for arm in ARMS:
-    out[arm] = run_arm(arm, train_tokens, eval_tokens)
+  for sp in SPARSITIES:
+    for arm in ARMS:
+      key = arm if arm == 'dense' else f'{arm}@{sp}'
+      if key in out:
+        continue  # dense arm runs once across the sparsity sweep
+      out[key] = run_arm(arm, train_tokens, eval_tokens, sp)
   print(json.dumps(out))
   return out
 

@@ -54,6 +54,23 @@ def test_packed_lm_no_recompile_across_mask_updates():
   assert compiles['update'] == 1, compiles
 
 
+def test_packed_lm_scan_chunk_matches_per_step():
+  """steps_per_loop > 1 (lax.scan train_chunk) must be bit-identical to
+  the per-step loop: same batch stream, same mask updates, same params."""
+  import flax.traverse_util as traverse
+  tokens = synthetic_stream(6000, seed=3)
+  a = PackedLMTrainer(PackedLMConfig(train_steps=50, **CFG))
+  res_a = a.train(tokens)
+  b = PackedLMTrainer(PackedLMConfig(train_steps=50, **CFG))
+  res_b = b.train(tokens, steps_per_loop=16)
+  assert res_a['mask_updates'] == res_b['mask_updates'] >= 2
+  assert res_a['batches'] == res_b['batches']
+  fa, fb = traverse.flatten_dict(a.params), traverse.flatten_dict(b.params)
+  for p in fa:
+    np.testing.assert_array_equal(np.asarray(fa[p]), np.asarray(fb[p]),
+                                  err_msg='/'.join(p))
+
+
 def test_packed_lm_resume_is_deterministic(tmp_path):
   tokens = synthetic_stream(6000, seed=1)
   cfg_a = PackedLMConfig(train_steps=50, **CFG)
