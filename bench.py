@@ -1,18 +1,30 @@
 """Benchmark: sparse-vs-dense train-step wall clock, 1 chip.
 
-Prints one JSON line:
-  {"metric": ..., "value": ..., "unit": ...,
-   "vs_baseline": dense_step_time / sparse_step_time}
+Default (BENCH_WORKLOAD=all) runs EVERY arm — mlp, transformer, moe,
+resnet50 — printing one JSON line per arm and a final summary line (the
+driver parses the LAST line):
+  {"metric": "bench_all", "value": <mlp ratio>, "vs_baseline": <mlp ratio>,
+   "arms": {mlp: {...}, transformer: {...}, moe: {...}, resnet50: {...}}}
+so the flagship ResNet-50 figure stays in the round-over-round record next
+to the packed-engine arms.  vs_baseline > 1.0 means the sparse step is
+faster than the dense step; the north-star target is sparse step time
+<= 0.6x dense (vs_baseline >= 1.667).
 
-vs_baseline > 1.0 means the sparse step is faster than the dense step; the
-north-star target is sparse step time <= 0.6x dense (vs_baseline >= 1.667).
-
-Three workloads (BENCH_WORKLOAD):
-  mlp (default)  — 3x4096 MLP train step, PACKED block-sparse storage
+Arms (run one with BENCH_WORKLOAD=mlp|transformer|moe|resnet50):
+  mlp — 3x4096 MLP train step, PACKED block-sparse storage
       (weights/grads/momentum all (n_active, bk, bn)) vs an equal-dtype
-      dense baseline.  This is the compute-bound regime where weight
-      sparsity converts to wall clock; measured r2: 2.9-3.1x gross,
-      5.8x net of harness floor at s=0.8 (PERF.md).
+      dense baseline.  The compute-bound regime where weight sparsity
+      converts to wall clock; measured r2 (PERF.md + BENCH_r02): 2.26x
+      gross at s=0.8 (driver capture 2.65x), 2.93x at s=0.9; net of the
+      harness floor 0.288x / 0.130x of dense.
+  transformer — 2-layer decoder (d_model 2048, d_ff 8192, seq 512) with
+      every parameter matmul on packed storage vs the equal-dtype dense
+      twin; attention/LN mass dense in both arms.  Measured r2: 1.68x
+      gross at s=0.8, 2.10x at s=0.9 (net 0.543x / 0.399x, PERF.md s5).
+  moe — 2-layer Switch top-1 MoE decoder (8 experts, d_model 1024,
+      d_ff 4096) with expert kernels on expert-stacked packed storage vs
+      the identical-routing dense twin.  Measured r2: 1.61x / 1.86x gross
+      at s=0.8 / 0.9 (scripts/bench_packed_moe.py, PERF.md s7).
   resnet50 — ResNet-50 RigL @80% ERK vs dense, the reference's own
       headline model.  Pinned at ~1.0x STRUCTURALLY: the step is
       activation-HBM-bound, so weight sparsity cannot beat dense there
@@ -20,13 +32,14 @@ Three workloads (BENCH_WORKLOAD):
       implementation also runs dense-speed math under masks).  Sparse
       training at dense speed with O(density) checkpoint export is the
       honest RN50 result.
-  transformer — 2-layer decoder (d_model 2048, d_ff 8192, seq 512) with
-      every parameter matmul on packed storage vs the equal-dtype dense
-      twin; attention/LN mass dense in both arms.  Measured r2: 1.68x
-      gross at s=0.8, 2.10x at s=0.9 (PERF.md session 5).
-  moe — 2-layer Switch top-1 MoE decoder (8 experts, d_model 1024,
-      d_ff 4096) with expert kernels on expert-stacked packed storage vs
-      the identical-routing dense twin (scripts/bench_packed_moe.py).
+
+Every arm also reports achieved matmul TF/s and MFU for both the dense arm
+and the packed arm's ACTIVE FLOPs, against the measured bf16 peak
+(BENCH_PEAK_TFLOPS, default 197 — the MXU speed-of-light measured on this
+v5e in PERF.md).  FLOPs are analytic matmul counts (fwd+dgrad+wgrad = 3x
+forward); attention/router/dispatch mass is counted in both arms, packed
+parameter matmuls scale by (1 - sparsity).  MFU is reported on gross step
+time and omitted on CPU smoke runs.
 
 Runs on whatever jax.default_backend() provides (real TPU under the driver);
 scales shapes down automatically on CPU so it stays runnable anywhere.
@@ -38,6 +51,24 @@ import sys
 import time
 
 import numpy as np
+
+PEAK_TFLOPS = float(os.environ.get('BENCH_PEAK_TFLOPS', 197.0))
+
+
+def _mfu_fields(result, t_dense, t_sparse, dense_flops, sparse_flops):
+  """Achieved TF/s + MFU on gross step times; device peak from
+  BENCH_PEAK_TFLOPS (measured MXU speed-of-light, PERF.md)."""
+  import jax
+  if jax.default_backend() == 'cpu':
+    return result
+  tf_dense = dense_flops / t_dense / 1e12
+  tf_sparse = sparse_flops / t_sparse / 1e12
+  result.update(
+      tflops_dense=round(tf_dense, 1),
+      tflops_packed_active=round(tf_sparse, 1),
+      mfu_dense=round(tf_dense / PEAK_TFLOPS, 3),
+      mfu_packed_active=round(tf_sparse / PEAK_TFLOPS, 3))
+  return result
 
 
 def _bench_step(step_fn, state, batch, warmup: int, iters: int,
@@ -102,7 +133,9 @@ def main_mlp():
       'unit': 'x dense (gross step ratio)',
       'vs_baseline': round(t_dense / t_sparse, 4),
   }
-  print(json.dumps(result))
+  fwd = b.DEPTH * 2.0 * b.BATCH * b.WIDTH * b.WIDTH
+  return _mfu_fields(result, t_dense, t_sparse, 3 * fwd,
+                     3 * fwd * (1 - sparsity))
 
 
 def main_transformer():
@@ -134,7 +167,16 @@ def main_transformer():
       'unit': 'x dense (gross step ratio)',
       'vs_baseline': round(t_dense / t_packed, 4),
   }
-  print(json.dumps(result))
+  s = float(os.environ['TR_SPARSITY'])
+  tok = b.BATCH * b.SEQ
+  # Per layer fwd: fused QKV (d->3d) + out (d->d) + FFN (d->ff->d);
+  # attention score/value matmuls ride in BOTH arms.
+  param_fwd = b.LAYERS * 2.0 * tok * (
+      b.D_MODEL * 3 * b.D_MODEL + b.D_MODEL * b.D_MODEL
+      + 2 * b.D_MODEL * b.D_FF)
+  attn_fwd = b.LAYERS * 2.0 * 2 * b.BATCH * b.SEQ * b.SEQ * b.D_MODEL
+  return _mfu_fields(result, t_dense, t_packed, 3 * (param_fwd + attn_fwd),
+                     3 * (param_fwd * (1 - s) + attn_fwd))
 
 
 def main_moe():
@@ -166,7 +208,23 @@ def main_moe():
       'unit': 'x dense (gross step ratio)',
       'vs_baseline': round(t_dense / t_packed, 4),
   }
-  print(json.dumps(result))
+  s = float(os.environ['MOE_SPARSITY'])
+  tok = b.BATCH * b.SEQ
+  # Packed-parameter mass: QKV/out projections + expert FFNs over the
+  # dispatched capacity slots (capacity_factor-padded top-1 dispatch);
+  # attention + router + the (T, E*C, d) dispatch/combine einsums ride in
+  # BOTH arms.
+  cap = int(np.ceil(tok / b.EXPERTS * 2.0)) * b.EXPERTS  # capacity_factor=2
+  param_fwd = b.LAYERS * 2.0 * (
+      tok * (b.D_MODEL * 3 * b.D_MODEL + b.D_MODEL * b.D_MODEL)
+      + cap * 2 * b.D_MODEL * b.D_FF)
+  shared_fwd = b.LAYERS * 2.0 * (
+      2 * b.BATCH * b.SEQ * b.SEQ * b.D_MODEL      # attention
+      + tok * b.EXPERTS * b.D_MODEL                # router
+      + 2 * tok * cap * b.D_MODEL)                 # dispatch/combine
+  return _mfu_fields(result, t_dense, t_packed,
+                     3 * (param_fwd + shared_fwd),
+                     3 * (param_fwd * (1 - s) + shared_fwd))
 
 
 def main():
@@ -185,7 +243,7 @@ def main():
   image = int(os.environ.get('BENCH_IMAGE', 224 if on_tpu else 32))
   iters = int(os.environ.get('BENCH_ITERS', 20 if on_tpu else 3))
   warmup = int(os.environ.get('BENCH_WARMUP', 5 if on_tpu else 1))
-  depth = int(os.environ.get('BENCH_DEPTH', 50))
+  depth = int(os.environ.get('BENCH_DEPTH', 50 if on_tpu else 18))
   # BENCH_DIST: erdos_renyi_kernel (default) | uniform | erdos_renyi —
   # uniform@80 is a published operating point (74.6 top-1, README.md:66)
   # that puts sparsity where the step time is (group1/2), unlike ERK
@@ -277,19 +335,46 @@ def main():
       'unit': 'imgs/sec',
       'vs_baseline': round(dense_time / sparse_time, 4),
   }
-  print(json.dumps(result))
   print(f'# backend={backend} batch={batch} image={image} block={block} '
         f'sparse_step={sparse_time * 1e3:.2f}ms '
         f'dense_step={dense_time * 1e3:.2f}ms', file=sys.stderr)
+  # MFU on the reference's verified forward count (tests/test_flops.py
+  # reproduces 8.2e9 multiply-adds at 224; scale by (image/224)^2), train
+  # step = 3x forward.  RigL runs dense-shape math under masks here
+  # (activation-HBM-bound roofline, PERF.md), so both arms carry the full
+  # conv mass.
+  fwd = 2.0 * batch * 8.2e9 * (image / 224.0) ** 2 * (depth / 50.0)
+  return _mfu_fields(result, dense_time, sparse_time, 3 * fwd, 3 * fwd)
+
+
+ARMS = {'mlp': main_mlp, 'transformer': main_transformer, 'moe': main_moe,
+        'resnet50': main}
+
+
+def main_all():
+  """Every arm, one JSON line each, then the summary line the driver
+  parses — so BENCH_r{N}.json carries all four arms every round and the
+  flagship RN50 number never drops out of the record (VERDICT r2)."""
+  arms = {}
+  for name in ('mlp', 'transformer', 'moe', 'resnet50'):
+    try:
+      arms[name] = ARMS[name]()
+    except Exception as e:  # noqa: BLE001 — record and keep benching
+      arms[name] = {'error': f'{type(e).__name__}: {e}'}
+    print(json.dumps({'arm': name, **arms[name]}), flush=True)
+  headline = arms.get('mlp', {})
+  print(json.dumps({
+      'metric': 'bench_all_headline_' + headline.get('metric', 'failed'),
+      'value': headline.get('value', 0.0),
+      'unit': headline.get('unit', ''),
+      'vs_baseline': headline.get('vs_baseline', 0.0),
+      'arms': arms,
+  }))
 
 
 if __name__ == '__main__':
-  _workload = os.environ.get('BENCH_WORKLOAD', 'mlp')
-  if _workload == 'mlp':
-    main_mlp()
-  elif _workload == 'transformer':
-    main_transformer()
-  elif _workload == 'moe':
-    main_moe()
+  _workload = os.environ.get('BENCH_WORKLOAD', 'all')
+  if _workload == 'all':
+    main_all()
   else:
-    main()
+    print(json.dumps(ARMS.get(_workload, main)()))

@@ -320,6 +320,14 @@ class SparseTraining:
     updates, new_opt_state = self.tx.update(grads, opt_state, params)
     return optax.apply_updates(params, updates), new_opt_state
 
+  def _drop_noise(self, step, layer_idx: int, path: str, mask, w):
+    """Tie-breaking noise added to the |mask*w| drop score
+    (sparse_optimizers_base.py:264-270).  A seam: the golden-trajectory
+    replay overrides this (and _grow_score) to inject the reference's
+    recorded stateless draws."""
+    return (jax.random.normal(self._layer_key(step, layer_idx, 0), mask.shape)
+            * self.algo.noise_std)
+
   def _grow_score(self, algo: algorithms.Algorithm, path: str, mask, weights,
                   dense_grad, ema_grad, key) -> jnp.ndarray:
     name = algo.name
@@ -353,8 +361,7 @@ class SparseTraining:
     reset_vals: MaskDict = {}
     for i, path in enumerate(masks):
       mask, w, g = masks[path], w_sel[path], g_sel[path]
-      noise = (jax.random.normal(self._layer_key(step, i, 0), mask.shape)
-               * algo.noise_std)
+      noise = self._drop_noise(step, i, path, mask, w)
       score_drop = jnp.abs(mask.astype(w.dtype) * w) + noise
       score_grow = self._grow_score(
           algo, path, mask, w, g, None if ema is None else ema[path],
@@ -459,10 +466,10 @@ class SparseTraining:
     """
     algo = self.algo
     sched = getattr(algo, 'schedule', None)
-    if sched is None or algo.name in ('none', 'scratch', 'dnw'):
-      return [algo.name == 'dnw'] * n_steps
     if algo.name == 'snip':
       return [start_step == 0] + [False] * (n_steps - 1)
+    if sched is None or algo.name in ('none', 'scratch', 'dnw'):
+      return [algo.name == 'dnw'] * n_steps
     step = start_step
     last = (start_last if start_last is not None
             else int(sched.initial_last_update_step))
@@ -547,12 +554,26 @@ class SparseTraining:
         return (new_params, new_opt_state, masks, sstate.block_packs,
                 sstate.step + 1, sstate.is_snipped)
 
-      (new_params, new_opt_state, new_masks, new_packs, new_step,
-       snipped) = jax.lax.cond(do_snip, snip_branch, apply_branch, params,
-                               opt_state)
+      # The snip is a one-time host-predictable event (step 0, not yet
+      # snipped), so update_hint specializes here exactly like the
+      # drop/grow family — and keeps the eager/XLA arithmetic of the apply
+      # path un-fused with the snip branch (lax.cond compiles both into
+      # one computation, where mul+add contracts to FMA).
+      if update_hint is None:
+        (new_params, new_opt_state, new_masks, new_packs, new_step,
+         snipped) = jax.lax.cond(do_snip, snip_branch, apply_branch, params,
+                                 opt_state)
+      elif update_hint:
+        (new_params, new_opt_state, new_masks, new_packs, new_step,
+         snipped) = snip_branch(params, opt_state)
+      else:
+        (new_params, new_opt_state, new_masks, new_packs, new_step,
+         snipped) = apply_branch(params, opt_state)
       new_sstate = sstate.replace(masks=new_masks, step=new_step,
                                   is_snipped=snipped, block_packs=new_packs)
       metrics['mask_updated'] = do_snip
+      if update_hint is not None:
+        metrics['update_hint_ok'] = do_snip == update_hint
       return new_params, new_opt_state, new_sstate, metrics
 
     if algo.name == 'dnw':

@@ -1,0 +1,166 @@
+"""MULTI-STEP golden-trajectory parity with the reference's TF1 optimizers.
+
+tests/golden/trajectory_traces.npz holds ~300-step trajectories recorded by
+EXECUTING rigl/sparse_optimizers.py (SparseRigLOptimizer, SET, Static,
+Momentum/SNFS, SNIP, DNW wrapping tf.train.MomentumOptimizer) on a tiny
+2-layer model (tests/golden/generate_trajectory_traces.py).  This test
+replays the IDENTICAL per-step dense gradients through
+rigl_tpu.transforms.SparseTraining.step and demands bit-exact masks, latent
+weights, momentum slots, and step accounting at EVERY step — earning the
+BASELINE.md "mask evolution bit-for-bit" row at trajectory depth:
+
+  * schedule gating + last_update_step (sparse_optimizers_base.py:152-230)
+  * RigL skip-apply step accounting (:487-521), initial_acc_scale (:555-564)
+  * SET-family post-increment gating + always-apply (:118-146)
+  * SNFS pre-apply EMA of dense grads (sparse_optimizers.py:195-197)
+  * momentum reset on grown connections (:345-353)
+  * SNIP's one-shot step-0 prune (:258-337), DNW's per-step remask (:408-471)
+  * cosine drop-fraction anneal on the raw global step (:232-258)
+
+Reference randomness is replayed as DATA: the recorded stateless drop-noise
+and SET grow draws (pure functions of (seed, global_step), recomputed by the
+generator in-process) are injected through the _drop_noise/_grow_score seams,
+so equality is exact, not modulo RNG.
+"""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from rigl_tpu.sparsity.schedules import UpdateSchedule
+from rigl_tpu.transforms import algorithms
+from rigl_tpu.transforms.sparse_training import SparseState, SparseTraining
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), 'golden')
+NPZ = os.path.join(GOLDEN_DIR, 'trajectory_traces.npz')
+META = os.path.join(GOLDEN_DIR, 'trajectory_traces_meta.json')
+
+LAYERS = ('layer1', 'layer2')
+PATHS = tuple(f'{l}/kernel' for l in LAYERS)
+
+
+def load_case(name):
+  z = np.load(NPZ)
+  with open(META) as f:
+    meta = {c['name']: c for c in json.load(f)['cases']}
+  case = meta[name]
+  rec = {'gs': z[f'{name}/gs']}
+  for i in range(len(LAYERS)):
+    for key in ('w_init', 'm_init', 'dense_grads', 'masks', 'weights',
+                'slots', 'drop_noise', 'grow_uniform', 'noise_gs'):
+      arr_key = f'{name}/{key}_{i}'
+      if arr_key in z:
+        rec.setdefault(key, []).append(z[arr_key])
+  if f'{name}/is_snipped' in z:
+    rec['is_snipped'] = z[f'{name}/is_snipped']
+  return case, rec
+
+
+class ReplayTraining(SparseTraining):
+  """SparseTraining with the reference's recorded stateless draws injected
+  (the _drop_noise/_grow_score seams).  current_noise/current_grow are
+  {path: array} set by the test before each step() call."""
+
+  current_noise = None
+  current_grow = None
+
+  def _drop_noise(self, step, layer_idx, path, mask, w):
+    return jnp.asarray(self.current_noise[path])
+
+  def _grow_score(self, algo, path, mask, weights, dense_grad, ema_grad,
+                  key):
+    if algo.name == 'set':
+      return jnp.asarray(self.current_grow[path])
+    return super()._grow_score(algo, path, mask, weights, dense_grad,
+                               ema_grad, key)
+
+
+def make_training(case):
+  tx = optax.sgd(case.get('lr', 0.1), momentum=case.get('momentum', 0.9))
+  kind = case['kind']
+  sp = case['sparsities']
+  kwargs = {}
+  sched = None
+  if 'sched' in case and case['sched']:
+    s = case['sched']
+    sched = UpdateSchedule(s['begin'], s['end'], s['freq'],
+                           s['drop_fraction'], s['anneal'])
+  if kind == 'rigl' and case.get('initial_acc_scale'):
+    kwargs['initial_acc_scale'] = case['initial_acc_scale']
+  if kind == 'momentum':
+    kwargs['momentum'] = case.get('ema_momentum', 0.9)
+  algo = algorithms.get_algorithm(kind, schedule=sched, **kwargs)
+  st = ReplayTraining(tx, algo, default_sparsity=float(sp[0]),
+                      custom_sparsity_map={PATHS[1]: float(sp[1])})
+  st.sparsities = {PATHS[0]: float(sp[0]), PATHS[1]: float(sp[1])}
+  st.layer_shapes = {PATHS[0]: (12, 16), PATHS[1]: (16, 4)}
+  return st
+
+
+def tree_of(vals):
+  return {l: {'kernel': jnp.asarray(v)} for l, v in zip(LAYERS, vals)}
+
+
+def noise_at(rec, key, t, gs):
+  """Recorded stateless draw for step t at global_step == gs (the value the
+  in-graph cond used: post-increment for the SET family, un-incremented for
+  RigL's skip-apply — both equal the recorded post-step gs)."""
+  out = {}
+  for i, path in enumerate(PATHS):
+    cands = rec['noise_gs'][i][t]
+    j = int(np.nonzero(cands == gs)[0][0])
+    out[path] = rec[key][i][t][j]
+  return out
+
+
+@pytest.mark.parametrize('name', [
+    'rigl_cosine', 'rigl_accscale', 'set_constant', 'static_reinit',
+    'momentum_ema', 'snip_step0', 'dnw_everystep'])
+def test_trajectory_matches_reference(name):
+  case, rec = load_case(name)
+  st = make_training(case)
+  algo = st.algo
+  T = int(case['steps'])
+
+  params = tree_of([w[...] for w in rec['w_init']])
+  masks = {p: jnp.asarray(m) for p, m in zip(PATHS, rec['m_init'])}
+  opt_state = st.tx.init(params)
+  ema = ({p: jnp.zeros_like(masks[p]) for p in PATHS}
+         if algo.needs_ema else None)
+  sstate = SparseState(
+      masks=masks, step=jnp.asarray(0, jnp.int32),
+      last_update_step=jnp.asarray(
+          algo.schedule.initial_last_update_step if algo.schedule is not None
+          else 0, jnp.int32),
+      is_snipped=jnp.asarray(False), ema_grads=ema)
+
+  hints = st.predict_update_iters(T)
+  for t in range(T):
+    gs_rec = int(rec['gs'][t])
+    st.current_noise = noise_at(rec, 'drop_noise', t, gs_rec)
+    if algo.name == 'set':
+      st.current_grow = noise_at(rec, 'grow_uniform', t, gs_rec)
+    grads = tree_of([g[t] for g in rec['dense_grads']])
+    params, opt_state, sstate, metrics = st.step(
+        params, opt_state, sstate, grads, update_hint=hints[t])
+    assert bool(metrics.get('update_hint_ok', True)), (name, t)
+    assert int(sstate.step) == gs_rec, (
+        f'{name} step {t}: step accounting {int(sstate.step)} != reference '
+        f'global_step {gs_rec}')
+    trace = opt_state[0].trace
+    for i, (l, path) in enumerate(zip(LAYERS, PATHS)):
+      np.testing.assert_array_equal(
+          np.asarray(sstate.masks[path]), rec['masks'][i][t],
+          err_msg=f'{name} step {t} mask {path}')
+      np.testing.assert_array_equal(
+          np.asarray(params[l]['kernel']), rec['weights'][i][t],
+          err_msg=f'{name} step {t} weights {path}')
+      np.testing.assert_array_equal(
+          np.asarray(trace[l]['kernel']), rec['slots'][i][t],
+          err_msg=f'{name} step {t} momentum slot {path}')
+  if 'is_snipped' in rec:
+    assert bool(sstate.is_snipped) == bool(rec['is_snipped'][-1])
