@@ -341,3 +341,29 @@ def test_sparse_sac_premask_invariant_and_runs():
     state, metrics = step(state)
   _assert_premasked(state.actor_params, state.actor_sparse.masks)
   _assert_premasked(state.critic_params, state.critic_sparse.masks)
+
+
+def test_sparse_conv_dqn_breakout_learns():
+  """A SPARSE CONV agent learns the MinAtar-style Breakout: RigL@0.8 DQN
+  with a width-0.25 Impala conv Q-network, per-phase average return rises
+  >3x from the first phase to the last on two seeds (the reference's Atari
+  capability, rl/dqn_agents.py:309-494, exercised end to end: conv masks,
+  drop/grow on conv kernels, target-net mask sync).  Measured trend:
+  seed 0 goes 0.12 -> 1.36 -> 2.51 over 16k/20k env steps, seed 1
+  0.14 -> 1.04 (docs/REPRODUCE.md)."""
+  from rigl_tpu.rl.envs import Breakout
+  from rigl_tpu.rl.runner import PhaseRunner
+  env = Breakout()
+  for seed in (0, 1):
+    cfg = DQNConfig(training_method='rigl', sparsity=0.8,
+                    buffer_capacity=20000, min_replay=500, batch_size=64,
+                    learn_every=2, target_update_period=100,
+                    epsilon_decay_steps=8000, maskupdate_frequency=1000,
+                    maskupdate_begin_step=1000, learning_rate=1e-3)
+    agent = SparseDQN(ImpalaNet(env.num_actions, width=0.25), env, cfg)
+    runner = PhaseRunner(agent, num_phases=4, steps_per_phase=4000)
+    res = runner.run(seed=seed)
+    first = res['phases'][0]['phase_avg_return']
+    last = res['phases'][-1]['phase_avg_return']
+    assert last > 3.0 * first, (seed, res['phases'])
+    assert last > 0.8, (seed, res['phases'])
