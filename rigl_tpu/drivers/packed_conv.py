@@ -29,6 +29,12 @@ common.define_common_flags(default_method='rigl', default_sparsity=0.8,
                            default_frequency=100, default_end_step=750,
                            default_anneal='cosine', default_lr=0.05)
 safe_flags.DEFINE_string('dataset', 'mnist', 'mnist|cifar10')
+safe_flags.DEFINE_string('arch', 'mobilenet',
+                         "mobilenet (dense depthwise + packed 1x1s) | "
+                         "wrn (WideResNet, every 3x3 conv on packed "
+                         "SPATIAL storage — layers/packed_conv.PackedConv)")
+safe_flags.DEFINE_integer('wrn_depth', 22, 'WRN depth (6n+4)')
+safe_flags.DEFINE_integer('wrn_width', 2, 'WRN width multiplier k')
 safe_flags.DEFINE_integer('stem_width', 32, 'dense 3x3 stem channels')
 safe_flags.DEFINE_string('conv_stages', '64:2,128:2,128:1',
                          'comma-separated features:stride per packed '
@@ -78,14 +84,25 @@ def main(argv):
       seed=FLAGS.seed,
       n_data=FLAGS.conv_n_data,
       n_model=FLAGS.conv_n_model)
-  net = dict(num_classes=info['num_classes'], stem_width=FLAGS.stem_width,
-             stages=stages)
-  packed = dict(sparsity=sparsity, block=cfg.block, bm=FLAGS.packed_bm,
-                tp_shards=cfg.n_model, **net)
-  model = PackedConvNet(**packed)
-  twin = DenseConvNet(**net)
-  model_sharded = (PackedConvNet(tp_axis='model', **packed)
-                   if cfg.n_model > 1 else None)
+  if FLAGS.arch == 'wrn':
+    from rigl_tpu.models.packed_convnet import (DenseWideResNetTwin,
+                                                PackedWideResNet)
+    if cfg.n_model > 1:
+      raise ValueError('--arch=wrn does not support tensor parallelism yet')
+    wrn = dict(depth=FLAGS.wrn_depth, width=FLAGS.wrn_width,
+               num_classes=info['num_classes'])
+    model = PackedWideResNet(sparsity=sparsity, block=cfg.block, **wrn)
+    twin = DenseWideResNetTwin(**wrn)
+    model_sharded = None
+  else:
+    net = dict(num_classes=info['num_classes'],
+               stem_width=FLAGS.stem_width, stages=stages)
+    packed = dict(sparsity=sparsity, block=cfg.block, bm=FLAGS.packed_bm,
+                  tp_shards=cfg.n_model, **net)
+    model = PackedConvNet(**packed)
+    twin = DenseConvNet(**net)
+    model_sharded = (PackedConvNet(tp_axis='model', **packed)
+                     if cfg.n_model > 1 else None)
   trainer = PackedClassifierTrainer(model, twin, cfg,
                                     input_shape=info['shape'],
                                     model_sharded=model_sharded)

@@ -8,4 +8,5 @@ from rigl_tpu.layers.masked import (
 )
 from rigl_tpu.layers.block_sparse_dense import BlockSparseDense
 from rigl_tpu.layers.packed_dense import PackedDense
-from rigl_tpu.layers.packed_conv import PackedConv1x1
+from rigl_tpu.layers.packed_conv import (DenseConvTwin, PackedConv,
+                                         PackedConv1x1)
