@@ -233,3 +233,128 @@ class DenseWideResNetTwin(nn.Module):
 
     return _wrn_backbone(x, self.depth, self.width, conv, self.num_classes,
                          self.dtype)
+
+
+# ------------------------------------------------------------ RN50 group --
+# A ResNet-50 bottleneck block group with EVERY conv packed: the 1x1
+# reduce/expand convs on the packed matmul engine (PackedConv1x1) and the
+# 3x3 on packed spatial storage (PackedConv) — the reference's flagship
+# layer family (resnet_model.py:306-501) in O(density) persistent memory
+# end to end.  GroupNorm for stateless packed loops, pre-activation
+# ordering like _WRNBlock.
+
+class _PackedBottleneck(nn.Module):
+  features: int                 # bottleneck width; output is 4*features
+  strides: Tuple[int, int]
+  sparsity: float
+  block: Tuple[int, int]
+  bm: int
+  dtype: Any = jnp.float32
+  engine: str = 'xla'
+
+  @nn.compact
+  def __call__(self, x):
+    from rigl_tpu.layers.packed_conv import PackedConv, PackedConv1x1
+    cin = x.shape[-1]
+    cout = 4 * self.features
+    h = nn.GroupNorm(num_groups=min(8, cin), dtype=self.dtype,
+                     name='gn0')(x)
+    h = nn.relu(h)
+    if cin != cout or self.strides != (1, 1):
+      x = nn.Conv(cout, (1, 1), strides=self.strides, use_bias=False,
+                  dtype=self.dtype, name='proj')(h)
+    h = PackedConv1x1(self.features, sparsity=self.sparsity,
+                      block=self.block, bm=self.bm, use_bias=False,
+                      dtype=self.dtype, name='reduce')(h)
+    h = nn.GroupNorm(num_groups=min(8, self.features), dtype=self.dtype,
+                     name='gn1')(h)
+    h = nn.relu(h)
+    h = PackedConv(self.features, (3, 3), sparsity=self.sparsity,
+                   block=self.block, strides=self.strides, use_bias=False,
+                   dtype=self.dtype, engine=self.engine, name='conv3x3')(h)
+    h = nn.GroupNorm(num_groups=min(8, self.features), dtype=self.dtype,
+                     name='gn2')(h)
+    h = nn.relu(h)
+    h = PackedConv1x1(cout, sparsity=self.sparsity, block=self.block,
+                      bm=self.bm, use_bias=False, dtype=self.dtype,
+                      name='expand')(h)
+    return x + h
+
+
+class _DenseBottleneckTwin(nn.Module):
+  """Dense twin of _PackedBottleneck (d/kernel convention throughout)."""
+  features: int
+  strides: Tuple[int, int]
+  dtype: Any = jnp.float32
+
+  @nn.compact
+  def __call__(self, x):
+    from rigl_tpu.layers.packed_conv import DenseConvTwin
+    cin = x.shape[-1]
+    cout = 4 * self.features
+    h = nn.GroupNorm(num_groups=min(8, cin), dtype=self.dtype,
+                     name='gn0')(x)
+    h = nn.relu(h)
+    if cin != cout or self.strides != (1, 1):
+      x = nn.Conv(cout, (1, 1), strides=self.strides, use_bias=False,
+                  dtype=self.dtype, name='proj')(h)
+    h = _DensePointwise(self.features, dtype=self.dtype, name='reduce')(h)
+    h = nn.GroupNorm(num_groups=min(8, self.features), dtype=self.dtype,
+                     name='gn1')(h)
+    h = nn.relu(h)
+    h = DenseConvTwin(self.features, (3, 3), strides=self.strides,
+                      dtype=self.dtype, name='conv3x3')(h)
+    h = nn.GroupNorm(num_groups=min(8, self.features), dtype=self.dtype,
+                     name='gn2')(h)
+    h = nn.relu(h)
+    h = _DensePointwise(cout, dtype=self.dtype, name='expand')(h)
+    return x + h
+
+
+class PackedBottleneckGroup(nn.Module):
+  """Classifier of `blocks` RN50-style bottlenecks, all convs packed
+  (stem/projections/head dense per the reference first/last convention)."""
+  num_classes: int = 10
+  features: int = 64            # bottleneck width of the group (RN50 g1: 64)
+  blocks: int = 3
+  strides: Tuple[int, int] = (1, 1)
+  sparsity: float = 0.8
+  block: Tuple[int, int] = (16, 16)
+  bm: int = 128
+  dtype: Any = jnp.float32
+  engine: str = 'xla'
+
+  @nn.compact
+  def __call__(self, x):
+    x = nn.Conv(self.block[0], (3, 3), padding='SAME', use_bias=False,
+                dtype=self.dtype, name='stem')(x)
+    for b in range(self.blocks):
+      x = _PackedBottleneck(
+          self.features, self.strides if b == 0 else (1, 1), self.sparsity,
+          self.block, self.bm, self.dtype, self.engine, name=f'b{b}')(x)
+    x = nn.GroupNorm(num_groups=8, dtype=self.dtype, name='gn_f')(x)
+    x = nn.relu(x)
+    x = jnp.mean(x, axis=(1, 2))
+    return nn.Dense(self.num_classes, dtype=self.dtype, name='head')(x)
+
+
+class DenseBottleneckGroupTwin(nn.Module):
+  num_classes: int = 10
+  features: int = 64
+  blocks: int = 3
+  strides: Tuple[int, int] = (1, 1)
+  block: Tuple[int, int] = (16, 16)
+  dtype: Any = jnp.float32
+
+  @nn.compact
+  def __call__(self, x):
+    x = nn.Conv(self.block[0], (3, 3), padding='SAME', use_bias=False,
+                dtype=self.dtype, name='stem')(x)
+    for b in range(self.blocks):
+      x = _DenseBottleneckTwin(
+          self.features, self.strides if b == 0 else (1, 1), self.dtype,
+          name=f'b{b}')(x)
+    x = nn.GroupNorm(num_groups=8, dtype=self.dtype, name='gn_f')(x)
+    x = nn.relu(x)
+    x = jnp.mean(x, axis=(1, 2))
+    return nn.Dense(self.num_classes, dtype=self.dtype, name='head')(x)

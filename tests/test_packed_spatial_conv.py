@@ -144,3 +144,41 @@ def test_packed_wrn_trains_and_updates():
   tv = dense_twin_params(tr.params, tr.packings, cfg.block)
   y_twin = twin.apply({'params': tv}, xb)
   np.testing.assert_array_equal(np.asarray(y_packed), np.asarray(y_twin))
+
+
+def test_packed_bottleneck_group_parity_and_trains():
+  """RN50-style bottleneck group, every conv packed (1x1 matmul engine +
+  3x3 spatial storage): exact dense-twin parity and end-to-end training
+  with drop/grow across BOTH packed layer kinds in one tree."""
+  from rigl_tpu.models.packed_convnet import (DenseBottleneckGroupTwin,
+                                              PackedBottleneckGroup)
+  kw = dict(num_classes=4, features=16, blocks=2, block=BLK)
+  model = PackedBottleneckGroup(sparsity=0.5, bm=32, **kw)
+  twin = DenseBottleneckGroupTwin(**kw)
+  x = jnp.asarray(np.random.RandomState(0).randn(2, 8, 8, 3), jnp.float32)
+  variables = model.init(jax.random.key(0), x)
+  y = model.apply(variables, x)
+  tv = dense_twin_params(variables['params'], variables['packing'], BLK)
+  y_twin = twin.apply({'params': tv}, x)
+  # 1x1s run the packed Pallas matmul vs the twin's XLA matmul: float
+  # reduction order differs, so allclose (the 3x3 parity is exact and
+  # covered above).
+  np.testing.assert_allclose(np.asarray(y), np.asarray(y_twin),
+                             rtol=2e-5, atol=2e-5)
+
+  rs = np.random.RandomState(0)
+  xd = rs.randn(256, 8, 8, 3).astype(np.float32)
+  w_true = rs.randn(8 * 8 * 3, 4).astype(np.float32)
+  yd = (xd.reshape(256, -1) @ w_true).argmax(-1).astype(np.int32)
+  cfg = PackedClassifierConfig(
+      sparsity=0.5, block=BLK, learning_rate=0.05, train_steps=40,
+      batch_size=64, maskupdate_begin_step=0, maskupdate_end_step=30,
+      maskupdate_frequency=15, seed=0)
+  tr = PackedClassifierTrainer(
+      PackedBottleneckGroup(sparsity=cfg.sparsity, bm=32, **kw),
+      twin, cfg, input_shape=(8, 8, 3))
+  res = tr.train((xd, yd))
+  assert res['mask_updates'] >= 2
+  assert res['batches'] == res['train_steps'] + res['mask_updates']
+  assert res['n_params_packed'] < 0.7 * res['n_params_dense_equiv']
+  assert np.isfinite(res['final_loss'])
