@@ -462,6 +462,18 @@ class SparseTraining:
     not taken, PERF.md).  Mirrors the reference's deterministic
     `is_mask_update_iter` gating (sparse_optimizers_base.py:198-230).
 
+    MAINTENANCE CONTRACT: this function is a HOST-SIDE MIRROR of step()'s
+    device-side gating.  Any new algorithm added to step() — or any change
+    to an existing algorithm's step/gating semantics (skip-apply vs
+    post-increment, snip one-shot, dnw every-step) — MUST extend the
+    branch logic below in lockstep, or callers using hints silently train
+    a different schedule.  Defenses if you get it wrong: step() emits
+    metrics['update_hint_ok'] (the true device-side schedule value
+    compared against the hint — the Trainer loop accumulates it and fails
+    loudly under debug_checks), and the golden trajectory suite
+    (tests/test_golden_trajectories.py) replays every algorithm's step
+    accounting bit-exactly against reference-executed traces.
+
     Returns a list of bools; also usable for snapshot scheduling.
     """
     algo = self.algo
