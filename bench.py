@@ -19,8 +19,9 @@ Arms (run one with BENCH_WORKLOAD=mlp|transformer|moe|resnet50):
       harness floor 0.288x / 0.130x of dense.
   transformer — 2-layer decoder (d_model 2048, d_ff 8192, seq 512) with
       every parameter matmul on packed storage vs the equal-dtype dense
-      twin; attention/LN mass dense in both arms.  Measured r2: 1.68x
-      gross at s=0.8, 2.10x at s=0.9 (net 0.543x / 0.399x, PERF.md s5).
+      twin; attention/LN mass dense in both arms.  Measured r3 (x-sliced
+      mm variant): 1.74-1.78x gross at s=0.8, 2.02x at s=0.9, 2.54x at
+      s=0.95 (net 0.505x / 0.441x / 0.328x, PERF.md r3 session).
   moe — 2-layer Switch top-1 MoE decoder (8 experts, d_model 1024,
       d_ff 4096) with expert kernels on expert-stacked packed storage vs
       the identical-routing dense twin.  Measured r2: 1.61x / 1.86x gross
@@ -147,6 +148,11 @@ def main_transformer():
   import jax
   sparsity = float(os.environ.get('BENCH_SPARSITY', '0.8'))
   os.environ.setdefault('TR_SPARSITY', str(sparsity))
+  # TR_FUSED=1 swaps the flash-attention core into BOTH arms (TPU only;
+  # parity: scripts/check_fused_attention_tpu.py).  Off by default: at the
+  # bench's seq 512 the unfused XLA path is FASTER in both arms (measured
+  # r3: dense 9.06 -> 10.43 ms, net ratio 0.505 -> 0.602 at s=0.8); the
+  # kernel wins only in the long-sequence regime (see PERF.md).
   if jax.default_backend() == 'cpu':
     # Interpret-mode pallas on the 1-core box: shrink to a smoke size.
     os.environ.setdefault('TR_D_MODEL', '256')

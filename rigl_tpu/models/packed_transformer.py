@@ -30,6 +30,17 @@ import numpy as np
 from rigl_tpu.layers.packed_dense import PackedDense
 
 
+def _flash_attention(q, k, v, sm_scale):
+  """Fused causal attention via the TPU pallas flash kernel (jax's
+  shipped op — tiled online-softmax, no (s, s) logits materialization).
+  TPU-only: no interpret mode, so callers gate on backend; the unfused
+  einsum path below is the CPU/test/seq-parallel fallback and the
+  numerical reference (parity checked on-chip by
+  scripts/check_fused_attention_tpu.py)."""
+  from jax.experimental.pallas.ops.tpu import flash_attention as fa
+  return fa.flash_attention(q, k, v, causal=True, sm_scale=sm_scale)
+
+
 class _Attention(nn.Module):
   """Multi-head self-attention with pluggable projection layer factory.
 
@@ -38,11 +49,17 @@ class _Attention(nn.Module):
   x holds this device's contiguous token shard; q stays local, k/v are
   all-gathered over the axis (context parallelism — every tokenwise op
   around the attention keeps running on the local shard), and the causal
-  mask compares GLOBAL positions (shard offset = axis_index * s_local)."""
+  mask compares GLOBAL positions (shard offset = axis_index * s_local).
+
+  `fused`: run the softmax(QK^T)V core through the TPU flash-attention
+  pallas kernel (both the packed model and the dense twin take it, so
+  benchmarks stay honest: it shrinks the SHARED attention mass).  Ignored
+  under sequence parallelism (the kernel has no shifted-causal support)."""
   num_heads: int
   make_proj: Any            # (features, name) -> nn.Module
   dtype: Any = jnp.float32
   seq_axis: Optional[str] = None
+  fused: bool = False
 
   @nn.compact
   def __call__(self, x):
@@ -54,6 +71,10 @@ class _Attention(nn.Module):
     q = q.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
     k = k.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
     v = v.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
+    if self.fused and self.seq_axis is None:
+      o = _flash_attention(q, k, v, sm_scale=float(1.0 / np.sqrt(hd)))
+      o = o.transpose(0, 2, 1, 3).reshape(b * s, d)
+      return self.make_proj(d, 'out')(o).reshape(b, s, d)
     if self.seq_axis is None:
       q_pos = jnp.arange(s)
       k_pos = jnp.arange(s)
@@ -80,13 +101,14 @@ class _Block(nn.Module):
   make_proj: Any
   dtype: Any = jnp.float32
   seq_axis: Optional[str] = None
+  fused: bool = False
 
   @nn.compact
   def __call__(self, x):
     b, s, d = x.shape
     h = nn.LayerNorm(dtype=self.dtype, name='ln1')(x)
     x = x + _Attention(self.num_heads, self.make_proj, self.dtype,
-                       self.seq_axis, name='attn')(h)
+                       self.seq_axis, self.fused, name='attn')(h)
     h = nn.LayerNorm(dtype=self.dtype, name='ln2')(x)
     h2 = self.make_proj(self.d_ff, 'fc1')(h.reshape(b * s, d))
     h2 = jax.nn.gelu(h2)
@@ -118,6 +140,8 @@ class PackedTransformer(nn.Module):
   # `seq_axis` mesh axis shards the sequence — inputs/outputs/labels are
   # local token shards; attention gathers k/v (see _Attention).
   seq_axis: Optional[str] = None
+  # Fused flash-attention core (TPU only; see _Attention.fused).
+  fused_attention: bool = False
 
   @nn.compact
   def __call__(self, x):
@@ -138,7 +162,7 @@ class PackedTransformer(nn.Module):
                    dtype=self.dtype, name='embed')(x)
     for i in range(self.num_layers):
       x = _Block(self.num_heads, self.d_ff, proj, self.dtype,
-                 self.seq_axis, name=f'block{i}')(x)
+                 self.seq_axis, self.fused_attention, name=f'block{i}')(x)
     x = nn.LayerNorm(dtype=self.dtype, name='ln_f')(x)
     if self.vocab_size:
       # Untied dense head (kept dense like the MLP drivers' classifier).
@@ -156,6 +180,7 @@ class DenseTransformer(nn.Module):
   num_heads: int = 8
   vocab_size: int = 0
   dtype: Any = jnp.float32
+  fused_attention: bool = False
 
   @nn.compact
   def __call__(self, x):
@@ -169,7 +194,7 @@ class DenseTransformer(nn.Module):
                    dtype=self.dtype, name='embed')(x)
     for i in range(self.num_layers):
       x = _Block(self.num_heads, self.d_ff, proj, self.dtype,
-                 name=f'block{i}')(x)
+                 fused=self.fused_attention, name=f'block{i}')(x)
     x = nn.LayerNorm(dtype=self.dtype, name='ln_f')(x)
     if self.vocab_size:
       x = nn.Dense(self.vocab_size, use_bias=False, dtype=self.dtype,

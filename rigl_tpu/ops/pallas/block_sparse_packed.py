@@ -26,6 +26,7 @@ matmuls; dw's grid runs over the n_active real blocks only.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -78,7 +79,15 @@ def pack_columns_slots(block_mask: jnp.ndarray, n_active: int):
   cols = (keys // (nk + 1)).astype(jnp.int32)
   raw_rows = keys % (nk + 1)
   valid = (raw_rows != nk).astype(jnp.int32)
-  rows = jnp.where(valid == 1, raw_rows, 0).astype(jnp.int32)
+  # Dummy entries forward-fill the previous VALID entry's row (their
+  # compute is skipped, so the value is semantically free): in the sliced
+  # mm variant the x BlockSpec indexes on rows, and an unchanged index
+  # lets Mosaic skip the prefetch for the dummy step.
+  pos = jnp.arange(raw_rows.shape[0], dtype=jnp.int32)
+  last_valid = jax.lax.cummax(jnp.where(valid == 1, pos, -1))
+  filled = jnp.where(valid == 1, raw_rows,
+                     raw_rows[jnp.maximum(last_valid, 0)])
+  rows = jnp.where(last_valid >= 0, filled, 0).astype(jnp.int32)
   slots = jnp.maximum(jnp.cumsum(valid) - 1, 0).astype(jnp.int32)
   return cols, rows, slots, valid
 
@@ -141,7 +150,7 @@ def repack_permutation(old_packing, new_packing):
 
 # ----------------------------------------------------------- kernels ------
 def _mm_kernel(cols_ref, rows_ref, slots_ref, valid_ref, x_ref, w_ref,
-               o_ref, acc_ref, *, bk, transpose_w):
+               o_ref, acc_ref, *, bk, transpose_w, x_sliced):
   s = pl.program_id(1)
   ns = pl.num_programs(1)
   first = jnp.logical_or(
@@ -153,8 +162,11 @@ def _mm_kernel(cols_ref, rows_ref, slots_ref, valid_ref, x_ref, w_ref,
 
   @pl.when(valid_ref[s] != 0)
   def _():
-    k = rows_ref[s] * bk
-    xt = x_ref[:, pl.ds(k, bk)]
+    if x_sliced:
+      xt = x_ref[:]                       # (bm, bk) slice fetched by spec
+    else:
+      k = rows_ref[s] * bk
+      xt = x_ref[:, pl.ds(k, bk)]
     if transpose_w:
       acc_ref[:] += jax.lax.dot_general(
           xt, w_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
@@ -189,26 +201,73 @@ def _clamp_bm(bm: int, m: int, kdim: int, out_bn: int, block) -> int:
   return bm
 
 
+def _clamp_bm_sliced(bm: int, m: int, bk_eff: int, out_bn: int, block,
+                     itemsize: int) -> int:
+  """bm clamp for the x-SLICED variant: the x tile is (bm, bk_eff), so
+  VMEM no longer scales with the full contraction width and bm can grow
+  to m itself (fetching each weight block exactly once)."""
+  bk, bn = block
+  limit = 13 * 2 ** 20
+  while bm > 8:
+    need = (2 * bm * bk_eff * itemsize   # x slice, double-buffered
+            + 2 * bk * bn * itemsize     # w block
+            + 2 * bm * out_bn * itemsize # out tile
+            + bm * out_bn * 4)           # f32 accumulator
+    if need <= limit and m % bm == 0:
+      return bm
+    bm //= 2
+  return bm
+
+
 def _mm_call(x, w_packed, pk, block, bm, interpret, transpose_w, n_out):
   """block is ALWAYS the storage orientation (bk, bn) of the packed blocks.
   transpose_w: x is gy (m, N); slices are bn-wide (N-axis), output tiles
-  bk-wide (K-axis), w contracted on its stored N axis."""
+  bk-wide (K-axis), w contracted on its stored N axis.
+
+  Two x-feed variants, picked by an HBM-traffic model (override with
+  RIGL_PACKED_MM_VARIANT=panel|slice):
+    * panel — x spec is the full (bm, kdim) row panel (fetched once per
+      m-tile; kernel slices the bk window dynamically).  VMEM scales with
+      kdim, capping bm and so multiplying weight-block refetch across
+      m-tiles (m/bm passes over the packed array).
+    * slice — x spec is the (bm, bk) slice the entry needs, indexed by the
+      prefetched row list (as the dw kernel).  VMEM is kdim-independent so
+      bm can reach m: weight blocks are fetched exactly once, at the cost
+      of re-fetching x slices per entry (n_entries * m * bk bytes)."""
   m, _ = x.shape
   bk, bn = block
   cols, rows, slots, valid = pk
   n_entries = cols.shape[0]
   out_bn = bk if transpose_w else bn
-  bm = _clamp_bm(bm, m, x.shape[1], out_bn, block)
-  kernel = functools.partial(_mm_kernel, bk=bn if transpose_w else bk,
-                             transpose_w=transpose_w)
+  bk_eff = bn if transpose_w else bk
+  xs = x.dtype.itemsize
+  ws = w_packed.dtype.itemsize
+  # The bm request is a hint: both variants grow it to m when VMEM allows
+  # (fewer m-tiles = fewer passes over the packed weight array).
+  bm_panel = _clamp_bm(max(bm, m), m, x.shape[1], out_bn, block)
+  bm_slice = _clamp_bm_sliced(max(bm, m), m, bk_eff, out_bn, block, xs)
+  traffic_panel = (m * x.shape[1] * xs
+                   + (m // bm_panel) * n_entries * bk * bn * ws)
+  traffic_slice = (n_entries * m * bk_eff * xs
+                   + (m // bm_slice) * n_entries * bk * bn * ws)
+  variant = os.environ.get('RIGL_PACKED_MM_VARIANT', 'auto')
+  if variant == 'auto':
+    variant = 'slice' if traffic_slice < traffic_panel else 'panel'
+  x_sliced = variant == 'slice'
+  bm = bm_slice if x_sliced else bm_panel
+  kernel = functools.partial(_mm_kernel, bk=bk_eff,
+                             transpose_w=transpose_w, x_sliced=x_sliced)
+  if x_sliced:
+    x_spec = pl.BlockSpec((bm, bk_eff), lambda i, s, c, r, sl, v: (i, r[s]))
+  else:
+    x_spec = pl.BlockSpec((bm, x.shape[1]), lambda i, s, c, r, sl, v: (i, 0))
   return pl.pallas_call(
       kernel,
       grid_spec=pltpu.PrefetchScalarGridSpec(
           num_scalar_prefetch=4,
           grid=(m // bm, n_entries),
           in_specs=[
-              pl.BlockSpec((bm, x.shape[1]),
-                           lambda i, s, c, r, sl, v: (i, 0)),
+              x_spec,
               pl.BlockSpec((1, bk, bn),
                            lambda i, s, c, r, sl, v: (sl[s], 0, 0)),
           ],

@@ -36,6 +36,9 @@ SPARSITY = float(os.environ.get('TR_SPARSITY', 0.8))
 BLOCK = tuple(int(b) for b in os.environ.get('TR_BLOCK', '512,512'
                                              ).split(','))
 BM = int(os.environ.get('TR_BM', 512))
+# Fused flash-attention core in BOTH arms (TPU only; shrinks the shared
+# attention mass honestly — see models/packed_transformer.py).
+FUSED = bool(int(os.environ.get('TR_FUSED', '0')))
 
 
 def make_train_scan(model, variables):
@@ -87,7 +90,7 @@ def main():
   floor = bench(floor_run, x, 'harness floor')
 
   kw = dict(num_layers=LAYERS, d_model=D_MODEL, d_ff=D_FF, num_heads=HEADS,
-            dtype=jnp.bfloat16)
+            dtype=jnp.bfloat16, fused_attention=FUSED)
   dense = DenseTransformer(**kw)
   dv = dense.init(jax.random.key(0), x)
   run_d, params_d, opt_d = make_train_scan(dense, dv)

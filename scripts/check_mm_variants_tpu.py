@@ -1,0 +1,81 @@
+"""On-chip parity check for the packed matmul x-feed variants.
+
+For each transformer-class shape: fwd / dx / dw under
+RIGL_PACKED_MM_VARIANT=panel vs =slice must be BIT-EXACT (same entry
+order, same f32 accumulation), and both must match the dense
+mask-multiply reference to bf16 tolerance.
+
+  python scripts/check_mm_variants_tpu.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rigl_tpu.ops.pallas import block_sparse_packed as bsp
+
+SHAPES = [  # (m, K, N, block)
+    (2048, 2048, 6144, (512, 512)),   # fused QKV
+    (2048, 2048, 2048, (512, 512)),   # out-proj
+    (2048, 2048, 8192, (512, 512)),   # fc1
+    (2048, 8192, 2048, (512, 512)),   # fc2 (wide-K: the slice win)
+    (1024, 4096, 4096, (512, 512)),   # MLP bench shape (panel regime)
+]
+
+
+def run_variant(variant, x, wp, packing, block):
+  os.environ['RIGL_PACKED_MM_VARIANT'] = variant
+
+  @jax.jit
+  def f(x, wp):
+    def loss(x, wp):
+      y = bsp.packed_matmul(x, wp, packing, block, 512)
+      return jnp.sum(y.astype(jnp.float32) ** 2), y
+    (l, y), (dx, dw) = jax.value_and_grad(loss, argnums=(0, 1),
+                                          has_aux=True)(x, wp)
+    return y, dx, dw
+
+  y, dx, dw = f(x, wp)
+  return (np.asarray(y), np.asarray(dx), np.asarray(dw))
+
+
+def main():
+  rs = np.random.RandomState(0)
+  for m, kdim, n, block in SHAPES:
+    bk, bn = block
+    nk, nn = kdim // bk, n // bn
+    n_active = max(1, int(0.2 * nk * nn))
+    flat = np.zeros(nk * nn, np.int32)
+    flat[rs.choice(nk * nn, n_active, replace=False)] = 1
+    bm_np = flat.reshape(nk, nn)
+    packing = bsp.make_packing(jnp.asarray(bm_np), n_active)
+    w = rs.randn(kdim, n).astype(np.float32) * 0.02
+    mask = np.repeat(np.repeat(bm_np, bk, 0), bn, 1).astype(np.float32)
+    wp = bsp.pack_dense(jnp.asarray(w * mask, jnp.bfloat16), packing, block)
+    x = jnp.asarray(rs.randn(m, kdim) * 0.1, jnp.bfloat16)
+
+    yp, dxp, dwp = run_variant('panel', x, wp, packing, block)
+    ys, dxs, dws = run_variant('slice', x, wp, packing, block)
+    bit = (np.array_equal(yp, ys) and np.array_equal(dxp, dxs)
+           and np.array_equal(dwp, dws))
+
+    # dense reference (f32 matmul of the bf16-masked weight)
+    wd = np.asarray(
+        bsp.unpack_dense(wp, packing, block, jnp.float32))
+    y_ref = np.asarray(x, np.float32) @ wd
+    rel = (np.abs(yp.astype(np.float32) - y_ref).max()
+           / (np.abs(y_ref).max() + 1e-9))
+    print(f'({m},{kdim},{n}) block={block} n_act={n_active}: '
+          f'bit_exact={bit} fwd_rel_vs_dense={rel:.2e}', flush=True)
+    assert bit, 'variants disagree!'
+    assert rel < 2e-2, 'packed fwd does not match dense!'
+  print('ALL OK')
+
+
+if __name__ == '__main__':
+  main()

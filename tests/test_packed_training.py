@@ -371,3 +371,40 @@ def test_packed_dw_matches_dense_oracle_both_branches(n_act, branch):
   np.testing.assert_allclose(np.asarray(gw),
                              np.asarray(bsp.pack_dense(gw_d, packing, blk)),
                              atol=1e-4)
+
+@pytest.mark.parametrize('variant', ['panel', 'slice'])
+def test_packed_mm_variants_match_dense_oracle(variant, monkeypatch):
+  """fwd/dx/dw parity through both _mm_call x-feed variants (panel: full
+  row panel + in-kernel dynamic slice; slice: (bm, bk) x tile indexed by
+  the prefetched row list).  Mask includes an EMPTY LEADING COLUMN so the
+  dummy-entry row forward-fill (pack_columns_slots) hits its edge case.
+  Oracle: dense matmul on the expanded mask."""
+  monkeypatch.setenv('RIGL_PACKED_MM_VARIANT', variant)
+  rs = np.random.RandomState(7)
+  nk, nn, blk, m = 4, 4, (16, 16), 64
+  occ = np.zeros((nk, nn), np.int32)
+  occ[[0, 2, 3, 1, 2], [1, 1, 2, 3, 3]] = 1   # column 0 empty
+  occ = jnp.asarray(occ)
+  n_act = 5
+  packing = bsp.make_packing(occ, n_act)
+  kdim, ndim = nk * blk[0], nn * blk[1]
+  mask = bm_lib.expand_from_blocks(occ, (kdim, ndim), blk)
+  w = jnp.asarray(rs.randn(kdim, ndim), jnp.float32) * mask
+  packed = bsp.pack_dense(w, packing, blk)
+  x = jnp.asarray(rs.randn(m, kdim), jnp.float32)
+
+  def f(x, wp):
+    return jnp.sum(jnp.sin(bsp.packed_matmul(x, wp, packing, blk, 16)))
+
+  y = bsp.packed_matmul(x, packed, packing, blk, 16)
+  gx, gw = jax.grad(f, argnums=(0, 1))(x, packed)
+  np.testing.assert_allclose(np.asarray(y), np.asarray(x @ w), atol=1e-4)
+
+  def f_dense(x, w):
+    return jnp.sum(jnp.sin(x @ w))
+
+  gx_d, gw_d = jax.grad(f_dense, argnums=(0, 1))(x, w)
+  np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_d), atol=1e-4)
+  np.testing.assert_allclose(np.asarray(gw),
+                             np.asarray(bsp.pack_dense(gw_d, packing, blk)),
+                             atol=1e-4)
