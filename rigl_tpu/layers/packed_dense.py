@@ -38,6 +38,19 @@ def random_occupancy(key: jax.Array, nk: int, nn_: int,
   return grid.reshape(nk, nn_)
 
 
+def _pad_rows(x2d, bm: int):
+  """Pad rows up to a multiple of the row tile.  For row counts below bm
+  (decode-time batches, tiny eval batches) the tile shrinks to the
+  16-aligned row count instead — padding a batch-8 decode step up to the
+  512-row training tile would multiply the MXU work 64x for zero output."""
+  n_rows = x2d.shape[0]
+  bm = min(bm, max(16, -(-n_rows // 16) * 16))
+  pad = (-n_rows) % bm
+  if pad:
+    x2d = jnp.pad(x2d, ((0, pad), (0, 0)))
+  return x2d, bm, n_rows
+
+
 def packed_kernel_matmul(mod: nn.Module, x2d, features: int, *,
                          sparsity: float, block: Tuple[int, int], bm: int,
                          dtype, tp_shards: int = 1,
@@ -88,10 +101,7 @@ def packed_kernel_matmul(mod: nn.Module, x2d, features: int, *,
                           / np.sqrt(in_features)).astype(jnp.float32),
       (n_active, bk, bn))
 
-  n_rows = x2d.shape[0]
-  pad = (-n_rows) % bm
-  if pad:
-    x2d = jnp.pad(x2d, ((0, pad), (0, 0)))
+  x2d, bm, n_rows = _pad_rows(x2d, bm)
   y = packed_matmul(x2d, kernel.astype(dtype), packing.value, block, bm)
   return y[:n_rows]
 
@@ -127,10 +137,7 @@ def _tp_kernel_matmul(mod, x2d, features, nk, nn_, n_active, *, block, bm,
                           / np.sqrt(in_features)).astype(jnp.float32),
       (nm_store, cap) + tuple(block))
 
-  n_rows = x2d.shape[0]
-  pad = (-n_rows) % bm
-  if pad:
-    x2d = jnp.pad(x2d, ((0, pad), (0, 0)))
+  x2d, bm, n_rows = _pad_rows(x2d, bm)
   if tp_axis is not None:
     x2d = tp.replicate_for_tp(x2d, tp_axis)
   nm_local = kernel.shape[0]         # 1 inside shard_map, tp_shards outside

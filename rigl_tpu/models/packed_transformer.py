@@ -54,12 +54,20 @@ class _Attention(nn.Module):
   `fused`: run the softmax(QK^T)V core through the TPU flash-attention
   pallas kernel (both the packed model and the dense twin take it, so
   benchmarks stay honest: it shrinks the SHARED attention mass).  Ignored
-  under sequence parallelism (the kernel has no shifted-causal support)."""
+  under sequence parallelism (the kernel has no shifted-causal support).
+
+  `decode` + `max_decode_len`: autoregressive serving mode.  k/v land in a
+  ring-less 'cache' collection at the running index; the incoming x holds
+  the NEW tokens only (prompt prefill: s_in = prompt length at index 0;
+  decode: s_in = 1), the causal mask compares global positions
+  (query offset = cache index).  See rigl_tpu/serve/decode.py."""
   num_heads: int
   make_proj: Any            # (features, name) -> nn.Module
   dtype: Any = jnp.float32
   seq_axis: Optional[str] = None
   fused: bool = False
+  decode: bool = False
+  max_decode_len: int = 0
 
   @nn.compact
   def __call__(self, x):
@@ -71,6 +79,8 @@ class _Attention(nn.Module):
     q = q.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
     k = k.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
     v = v.reshape(b, s, h, hd).transpose(0, 2, 1, 3)
+    if self.decode:
+      return self._decode_attend(q, k, v, b, s, d, h, hd)
     if self.fused and self.seq_axis is None:
       o = _flash_attention(q, k, v, sm_scale=float(1.0 / np.sqrt(hd)))
       o = o.transpose(0, 2, 1, 3).reshape(b * s, d)
@@ -94,6 +104,41 @@ class _Attention(nn.Module):
     o = o.transpose(0, 2, 1, 3).reshape(b * s, d)
     return self.make_proj(d, 'out')(o).reshape(b, s, d)
 
+  def _decode_attend(self, q, k, v, b, s, d, h, hd):
+    """KV-cache attention: insert the s_in new k/v at the running index,
+    attend q against the whole cache with a global-position causal mask.
+    At init time (cache variables not yet materialized) falls back to the
+    plain local causal product so shapes/params trace identically."""
+    L = self.max_decode_len
+    if L < 1:
+      raise ValueError('decode=True requires max_decode_len >= 1')
+    is_init = not self.has_variable('cache', 'cached_key')
+    ck = self.variable('cache', 'cached_key',
+                       lambda: jnp.zeros((b, h, L, hd), k.dtype))
+    cv = self.variable('cache', 'cached_value',
+                       lambda: jnp.zeros((b, h, L, hd), v.dtype))
+    idx = self.variable('cache', 'index',
+                        lambda: jnp.zeros((), jnp.int32))
+    if is_init:
+      k_all, v_all = k, v
+      q_pos = jnp.arange(s)
+      k_pos = jnp.arange(s)
+    else:
+      start = idx.value
+      ck.value = jax.lax.dynamic_update_slice(ck.value, k, (0, 0, start, 0))
+      cv.value = jax.lax.dynamic_update_slice(cv.value, v, (0, 0, start, 0))
+      idx.value = start + s
+      k_all, v_all = ck.value, cv.value
+      q_pos = start + jnp.arange(s)
+      k_pos = jnp.arange(L)
+    logits = jnp.einsum('bhqd,bhkd->bhqk', q, k_all) / np.sqrt(hd)
+    mask = k_pos[None, :] <= q_pos[:, None]
+    logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(v.dtype)
+    o = jnp.einsum('bhqk,bhkd->bhqd', probs, v_all)
+    o = o.transpose(0, 2, 1, 3).reshape(b * s, d)
+    return self.make_proj(d, 'out')(o).reshape(b, s, d)
+
 
 class _Block(nn.Module):
   num_heads: int
@@ -102,13 +147,16 @@ class _Block(nn.Module):
   dtype: Any = jnp.float32
   seq_axis: Optional[str] = None
   fused: bool = False
+  decode: bool = False
+  max_decode_len: int = 0
 
   @nn.compact
   def __call__(self, x):
     b, s, d = x.shape
     h = nn.LayerNorm(dtype=self.dtype, name='ln1')(x)
     x = x + _Attention(self.num_heads, self.make_proj, self.dtype,
-                       self.seq_axis, self.fused, name='attn')(h)
+                       self.seq_axis, self.fused, self.decode,
+                       self.max_decode_len, name='attn')(h)
     h = nn.LayerNorm(dtype=self.dtype, name='ln2')(x)
     h2 = self.make_proj(self.d_ff, 'fc1')(h.reshape(b * s, d))
     h2 = jax.nn.gelu(h2)
@@ -142,6 +190,11 @@ class PackedTransformer(nn.Module):
   seq_axis: Optional[str] = None
   # Fused flash-attention core (TPU only; see _Attention.fused).
   fused_attention: bool = False
+  # Autoregressive serving: KV-cache decode (see _Attention.decode and
+  # rigl_tpu/serve/decode.py).  Same params/packing as the train-mode
+  # model — construct a decode twin with .replace(decode=True, ...).
+  decode: bool = False
+  max_decode_len: int = 0
 
   @nn.compact
   def __call__(self, x):
@@ -162,7 +215,8 @@ class PackedTransformer(nn.Module):
                    dtype=self.dtype, name='embed')(x)
     for i in range(self.num_layers):
       x = _Block(self.num_heads, self.d_ff, proj, self.dtype,
-                 self.seq_axis, self.fused_attention, name=f'block{i}')(x)
+                 self.seq_axis, self.fused_attention, self.decode,
+                 self.max_decode_len, name=f'block{i}')(x)
     x = nn.LayerNorm(dtype=self.dtype, name='ln_f')(x)
     if self.vocab_size:
       # Untied dense head (kept dense like the MLP drivers' classifier).
@@ -181,6 +235,8 @@ class DenseTransformer(nn.Module):
   vocab_size: int = 0
   dtype: Any = jnp.float32
   fused_attention: bool = False
+  decode: bool = False
+  max_decode_len: int = 0
 
   @nn.compact
   def __call__(self, x):
@@ -194,7 +250,8 @@ class DenseTransformer(nn.Module):
                    dtype=self.dtype, name='embed')(x)
     for i in range(self.num_layers):
       x = _Block(self.num_heads, self.d_ff, proj, self.dtype,
-                 fused=self.fused_attention, name=f'block{i}')(x)
+                 fused=self.fused_attention, decode=self.decode,
+                 max_decode_len=self.max_decode_len, name=f'block{i}')(x)
     x = nn.LayerNorm(dtype=self.dtype, name='ln_f')(x)
     if self.vocab_size:
       x = nn.Dense(self.vocab_size, use_bias=False, dtype=self.dtype,

@@ -1,0 +1,99 @@
+"""Autoregressive decoding on the packed/dense transformer family.
+
+The train-mode model and its decode twin share parameters (and packing):
+`decode_twin(model, L)` flips the module's decode flag, `generate` runs a
+jitted prefill + lax.scan token loop against the 'cache' collection that
+_Attention._decode_attend maintains (models/packed_transformer.py).
+
+Reference contrast: google-research/rigl has no serving surface at all —
+its sparse training produces masked dense checkpoints and export stops at
+mask-baked SavedModel artifacts (rigl/imagenet_resnet/export_model.py).
+Here the packed representation pays off twice: O(density) checkpoint AND
+O(density) decode-step weight traffic.
+
+Shapes: prompt (B, P) int32, generated tokens (B, steps) int32.  The
+whole generation (prefill + all steps) is ONE jitted program per
+(model, batch, prompt_len, steps) signature — no per-token host round
+trips (critical over the remote-TPU tunnel, CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def decode_twin(model, max_decode_len: int):
+  """The decode-mode twin of a train-mode PackedTransformer /
+  DenseTransformer: same architecture fields (so params/packing trees
+  line up), decode branch active with an L-token KV cache."""
+  if not getattr(model, 'vocab_size', 0):
+    raise ValueError('decoding requires vocab_size > 0 (token inputs)')
+  return model.clone(decode=True, max_decode_len=max_decode_len,
+                     parent=None)
+
+
+def init_cache(model, batch: int):
+  """Zeroed 'cache' collection for `batch` sequences (model must be a
+  decode twin).  Cheap: one s=1 forward at init."""
+  x0 = jnp.zeros((batch, 1), jnp.int32)
+  return jax.jit(model.init)(jax.random.key(0), x0)['cache']
+
+
+def _sample(logits, key, temperature: float):
+  if temperature == 0.0:
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+  return jax.random.categorical(
+      key, logits.astype(jnp.float32) / temperature, axis=-1
+  ).astype(jnp.int32)
+
+
+@functools.cache
+def make_generate_fn(model, steps: int, temperature: float = 0.0):
+  """Jitted (variables, prompt, key) -> (B, steps) int32 tokens.
+
+  `model` is a decode twin (hashable flax module — the cache key).  The
+  returned program prefills the prompt, samples the first token from the
+  last prompt logit, then scans `steps - 1` single-token decode steps with
+  the KV cache in the scan carry.
+  """
+  if steps < 1:
+    raise ValueError('steps must be >= 1')
+
+  @jax.jit
+  def run(variables: Mapping[str, Any], prompt, key):
+    b, p = prompt.shape
+    if p + steps > model.max_decode_len:
+      raise ValueError(f'prompt {p} + steps {steps} exceeds '
+                       f'max_decode_len {model.max_decode_len}')
+    base = {k: v for k, v in variables.items() if k != 'cache'}
+    cache = init_cache(model, b)
+    logits, mut = model.apply(dict(base, cache=cache), prompt,
+                              mutable=['cache'])
+    key, sub = jax.random.split(key)
+    tok = _sample(logits[:, -1], sub, temperature)
+
+    def step(carry, _):
+      cache, tok, key = carry
+      logits, mut = model.apply(dict(base, cache=cache), tok[:, None],
+                                mutable=['cache'])
+      key, sub = jax.random.split(key)
+      nxt = _sample(logits[:, 0], sub, temperature)
+      return (mut['cache'], nxt, key), nxt
+
+    (_, _, _), toks = jax.lax.scan(step, (mut['cache'], tok, key), None,
+                                   length=steps - 1)
+    return jnp.concatenate([tok[:, None], toks.T], axis=1)
+
+  return run
+
+
+def generate(model, variables, prompt, steps: int, *,
+             key: Optional[jax.Array] = None, temperature: float = 0.0):
+  """Convenience wrapper over make_generate_fn (traces once per
+  (model, steps, temperature, shapes) signature)."""
+  fn = make_generate_fn(model, steps, temperature)
+  return fn(variables, prompt, key if key is not None else jax.random.key(0))

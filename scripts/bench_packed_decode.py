@@ -1,0 +1,92 @@
+"""Serving decode-step bench: packed vs dense transformer, small batch.
+
+The autoregressive decode step is weight-HBM-bound (each step reads every
+parameter once for a handful of tokens), so packed storage's (1-sparsity)
+byte footprint converts directly to step time — the serving-side twin of
+the training-step benches.  Whole generation is one jitted prefill +
+lax.scan program (rigl_tpu/serve/decode.py), timed over DECODE_STEPS
+tokens with one readback; per-token time = elapsed / steps.
+
+  python scripts/bench_packed_decode.py          # TPU
+  DEC_SPARSITY=0.9 DEC_BATCH=1 python scripts/bench_packed_decode.py
+
+Model: DEC_LAYERS x (d_model DEC_D_MODEL, d_ff DEC_D_FF) decoder, bf16,
+vocab 256 (byte-LM class), block (512,512).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rigl_tpu.models.packed_transformer import (DenseTransformer,
+                                                PackedTransformer)
+from rigl_tpu.serve import decode_twin, make_generate_fn
+
+D_MODEL = int(os.environ.get('DEC_D_MODEL', 2048))
+D_FF = int(os.environ.get('DEC_D_FF', 8192))
+LAYERS = int(os.environ.get('DEC_LAYERS', 4))
+HEADS = int(os.environ.get('DEC_HEADS', 16))
+VOCAB = int(os.environ.get('DEC_VOCAB', 256))
+BATCH = int(os.environ.get('DEC_BATCH', 8))
+PROMPT = int(os.environ.get('DEC_PROMPT', 128))
+STEPS = int(os.environ.get('DEC_STEPS', 128))
+MAXLEN = int(os.environ.get('DEC_MAXLEN', PROMPT + STEPS))
+SPARSITY = float(os.environ.get('DEC_SPARSITY', 0.8))
+BLOCK = tuple(int(b) for b in os.environ.get('DEC_BLOCK', '512,512'
+                                             ).split(','))
+
+
+def bench(label, fn, variables, prompt):
+  out = fn(variables, prompt, jax.random.key(0))
+  jax.block_until_ready(out)
+  _ = int(np.asarray(out)[0, -1])
+  t = time.perf_counter()
+  out = fn(variables, prompt, jax.random.key(0))
+  _ = int(np.asarray(out)[0, -1])
+  dt = time.perf_counter() - t
+  per_tok = dt / STEPS
+  print(f'{label}: {per_tok * 1e6:.1f} us/token '
+        f'({BATCH * STEPS / dt:.0f} tok/s at batch {BATCH})', flush=True)
+  return per_tok
+
+
+def main():
+  rs = np.random.RandomState(0)
+  prompt = jnp.asarray(rs.randint(0, VOCAB, (BATCH, PROMPT)), jnp.int32)
+  kw = dict(num_layers=LAYERS, d_model=D_MODEL, d_ff=D_FF, num_heads=HEADS,
+            vocab_size=VOCAB, dtype=jnp.bfloat16)
+
+  dense = DenseTransformer(**kw)
+  dv = jax.jit(dense.init)(jax.random.key(1), prompt)
+  fd = make_generate_fn(decode_twin(dense, MAXLEN), STEPS, 0.0)
+  t_dense = bench('dense decode', fd, dv, prompt)
+
+  packed = PackedTransformer(sparsity=SPARSITY, block=BLOCK, bm=512, **kw)
+  pv = jax.jit(packed.init)(jax.random.key(1), prompt)
+  fp = make_generate_fn(decode_twin(packed, MAXLEN), STEPS, 0.0)
+  t_packed = bench(f'packed decode (s={SPARSITY})', fp, pv, prompt)
+
+  # Analytic weight bytes per step (bf16), the roofline denominator.
+  params = LAYERS * (4 * D_MODEL * D_MODEL + 2 * D_MODEL * D_FF)
+  print(json.dumps({
+      'metric': f'decode{LAYERS}x{D_MODEL}_packed{int(SPARSITY*100)}'
+                '_tokens_per_s_speedup_vs_dense',
+      'value': round(t_dense / t_packed, 3),
+      'unit': 'x dense (per-token decode step)',
+      'batch': BATCH, 'prompt': PROMPT, 'steps': STEPS,
+      'dense_us_per_tok': round(t_dense * 1e6, 1),
+      'packed_us_per_tok': round(t_packed * 1e6, 1),
+      'weight_mb_dense': round(params * 2 / 2**20, 1),
+      'weight_mb_packed': round(params * 2 * (1 - SPARSITY) / 2**20, 1),
+  }), flush=True)
+
+
+if __name__ == '__main__':
+  main()
