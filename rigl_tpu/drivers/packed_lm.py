@@ -65,6 +65,14 @@ safe_flags.DEFINE_float('aux_loss_weight', 0.01, 'Switch load-balance '
                         'aux loss weight')
 safe_flags.DEFINE_integer('n_expert', 1, 'expert-parallel shards (experts '
                           'shard over the expert axis; tokens all_to_all)')
+safe_flags.DEFINE_integer('generate_steps', 0, 'after training, sample '
+                          'this many tokens from the packed model via the '
+                          'serving decode path (rigl_tpu/serve)')
+safe_flags.DEFINE_string('generate_prompt', '', 'prompt text for '
+                         '--generate_steps (byte-level; defaults to the '
+                         'first training window)')
+safe_flags.DEFINE_float('generate_temperature', 0.8, 'sampling '
+                        'temperature (0 = greedy)')
 
 
 def synthetic_stream(n: int = 200_000, seed: int = 0) -> np.ndarray:
@@ -153,6 +161,21 @@ def main(argv):
     trainer.save(FLAGS.output_dir)
     with open(os.path.join(FLAGS.output_dir, 'result.json'), 'w') as f:
       json.dump(result, f, indent=2)
+
+  if FLAGS.generate_steps:
+    if FLAGS.generate_prompt:
+      prompt = np.frombuffer(FLAGS.generate_prompt.encode('utf-8'),
+                             np.uint8).astype(np.int32) % vocab
+    else:
+      prompt = np.asarray(train_tokens[:32], np.int32)
+    out = trainer.generate(prompt, FLAGS.generate_steps,
+                           temperature=FLAGS.generate_temperature,
+                           seed=FLAGS.seed)
+    result['generated_tokens'] = out[0].tolist()
+    if vocab == 256:
+      result['generated_text'] = bytes(
+          out[0].tolist()).decode('utf-8', errors='replace')
+
   print(json.dumps(result, indent=2))
   return result
 

@@ -242,6 +242,24 @@ def _mm_call(x, w_packed, pk, block, bm, interpret, transpose_w, n_out):
   bk_eff = bn if transpose_w else bk
   xs = x.dtype.itemsize
   ws = w_packed.dtype.itemsize
+  # Actives-only grid (RIGL_PACKED_MM_ROWMODE=act|dummy|auto): drop the
+  # one-dummy-per-column entries.  The kernel's first/last column-compare
+  # logic is dummy-agnostic; the dummies' only irreplaceable job is
+  # writing the output tiles of EMPTY block-columns, replaced here by a
+  # jnp.where column-presence mask on the result.  That mask is an extra
+  # elementwise pass over (m, n_out), so this pays only when m is small —
+  # decode/serving steps, where dummy grid steps were ~half the packed
+  # kernel time (PERF.md round-3 serving section).
+  n_cols_walk = n_out // out_bn
+  n_act = n_entries - n_cols_walk
+  rowmode = os.environ.get('RIGL_PACKED_MM_ROWMODE', 'auto')
+  actives_only = n_act > 0 and (
+      rowmode == 'act' or (rowmode == 'auto' and m <= 256))
+  if actives_only:
+    act = jnp.argsort(1 - valid, stable=True)[:n_act]
+    cols, rows, slots = cols[act], rows[act], slots[act]
+    valid = jnp.ones((n_act,), jnp.int32)
+    n_entries = n_act
   # The bm request is a hint: both variants grow it to m when VMEM allows
   # (fewer m-tiles = fewer passes over the packed weight array).
   bm_panel = _clamp_bm(max(bm, m), m, x.shape[1], out_bn, block)
@@ -261,7 +279,7 @@ def _mm_call(x, w_packed, pk, block, bm, interpret, transpose_w, n_out):
     x_spec = pl.BlockSpec((bm, bk_eff), lambda i, s, c, r, sl, v: (i, r[s]))
   else:
     x_spec = pl.BlockSpec((bm, x.shape[1]), lambda i, s, c, r, sl, v: (i, 0))
-  return pl.pallas_call(
+  y = pl.pallas_call(
       kernel,
       grid_spec=pltpu.PrefetchScalarGridSpec(
           num_scalar_prefetch=4,
@@ -278,6 +296,13 @@ def _mm_call(x, w_packed, pk, block, bm, interpret, transpose_w, n_out):
       out_shape=jax.ShapeDtypeStruct((m, n_out), x.dtype),
       interpret=interpret,
   )(cols, rows, slots, valid, x, w_packed)
+  if actives_only:
+    # Tiles of block-columns with no active entry were never visited —
+    # their contents are uninitialized.  where (not multiply: garbage may
+    # be NaN/Inf) zeroes exactly those columns.
+    counts = jnp.zeros((n_cols_walk,), jnp.int32).at[cols].add(1)
+    y = jnp.where(jnp.repeat(counts > 0, out_bn)[None, :], y, 0)
+  return y
 
 
 def _dw_kernel(cols_ref, rows_ref, x_ref, g_ref, o_ref, acc_ref):

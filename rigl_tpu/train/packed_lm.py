@@ -568,6 +568,33 @@ class PackedLMTrainer:
       count += int(x.shape[0])
     return total / count
 
+  def generate(self, prompt_tokens, steps: int, *,
+               temperature: float = 0.0, seed: int = 0,
+               max_len: int = 0) -> np.ndarray:
+    """Autoregressive generation from the current packed weights via the
+    serving decode path (rigl_tpu/serve/decode.py: jitted prefill +
+    lax.scan, KV cache; the decode twin shares this trainer's params and
+    packing trees directly).  prompt_tokens: (P,) or (B, P) ints; returns
+    (B, steps) int32.  Single-device; MoE models have no decode path yet."""
+    from rigl_tpu.serve import decode_twin, make_generate_fn
+    if self.cfg.n_experts > 0:
+      raise ValueError('generate: MoE decode is not supported')
+    if self.opt_state is None:
+      self.init_state()
+    prompt = jnp.asarray(prompt_tokens, jnp.int32)
+    if prompt.ndim == 1:
+      prompt = prompt[None]
+    params, packings = self.params, self.packings
+    if self.mesh is not None:
+      params = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)), params)
+      packings = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)),
+                              packings)
+    dm = decode_twin(self.model,
+                     max_len or (int(prompt.shape[1]) + steps))
+    fn = make_generate_fn(dm, steps, temperature)
+    return np.asarray(fn({'params': params, 'packing': packings}, prompt,
+                         jax.random.key(seed)))
+
   # ---------------------------------------------------------------- loop ----
   def sample_batch(self, tokens: np.ndarray):
     """Seeded random windows; replayable across resume (batches_seen is

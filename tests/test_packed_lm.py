@@ -92,3 +92,31 @@ def test_packed_lm_resume_is_deterministic(tmp_path):
   for p in fa:
     np.testing.assert_array_equal(np.asarray(fa[p]), np.asarray(fc[p]),
                                   err_msg='/'.join(p))
+
+
+def test_packed_lm_generate_from_trained_state():
+  """Trainer -> serving: generate() runs the KV-cache decode path on the
+  trainer's own packed params/packing trees — greedy output is
+  deterministic and matches a full re-forward oracle token-for-token."""
+  import jax
+  import jax.numpy as jnp
+  tokens = synthetic_stream(4000, seed=1)
+  tr = PackedLMTrainer(PackedLMConfig(train_steps=10, **CFG))
+  tr.train(tokens)
+  prompt = np.asarray(tokens[:8], np.int32)
+  out = tr.generate(prompt, 4, temperature=0.0)
+  assert out.shape == (1, 4)
+  again = tr.generate(prompt, 4, temperature=0.0)
+  np.testing.assert_array_equal(out, again)
+
+  variables = {'params': tr.params, 'packing': tr.packings}
+  seq = jnp.asarray(prompt, jnp.int32)[None]
+  for t in range(4):
+    logits = tr.model.apply(variables, seq)
+    nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+    assert int(nxt[0]) == int(out[0, t]), (t, out)
+    seq = jnp.concatenate([seq, nxt[:, None]], axis=1)
+
+  sampled = tr.generate(prompt, 4, temperature=1.0, seed=3)
+  assert sampled.shape == (1, 4)
+  assert int(sampled.min()) >= 0 and int(sampled.max()) < CFG['vocab_size']

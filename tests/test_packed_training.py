@@ -373,13 +373,18 @@ def test_packed_dw_matches_dense_oracle_both_branches(n_act, branch):
                              atol=1e-4)
 
 @pytest.mark.parametrize('variant', ['panel', 'slice'])
-def test_packed_mm_variants_match_dense_oracle(variant, monkeypatch):
+@pytest.mark.parametrize('rowmode', ['dummy', 'act'])
+def test_packed_mm_variants_match_dense_oracle(variant, rowmode,
+                                               monkeypatch):
   """fwd/dx/dw parity through both _mm_call x-feed variants (panel: full
   row panel + in-kernel dynamic slice; slice: (bm, bk) x tile indexed by
-  the prefetched row list).  Mask includes an EMPTY LEADING COLUMN so the
-  dummy-entry row forward-fill (pack_columns_slots) hits its edge case.
-  Oracle: dense matmul on the expanded mask."""
+  the prefetched row list) x both row modes (dummy: one dummy entry per
+  block-column does the output write; act: actives-only grid + column-
+  presence where-mask).  Mask includes an EMPTY LEADING COLUMN so the
+  dummy-entry row forward-fill AND the actives-only unvisited-tile mask
+  hit their edge cases.  Oracle: dense matmul on the expanded mask."""
   monkeypatch.setenv('RIGL_PACKED_MM_VARIANT', variant)
+  monkeypatch.setenv('RIGL_PACKED_MM_ROWMODE', rowmode)
   rs = np.random.RandomState(7)
   nk, nn, blk, m = 4, 4, (16, 16), 64
   occ = np.zeros((nk, nn), np.int32)
