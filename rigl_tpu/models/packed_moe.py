@@ -130,6 +130,12 @@ class _MoEFFN(nn.Module):
   dtype: Any = jnp.float32
   ep_axis: Optional[str] = None
   token_axes: Tuple[str, ...] = ()
+  # Serving mode: DROP-FREE routing (capacity = step token count), the
+  # standard inference policy — with no drops the top-1 MoE is pointwise
+  # per token, so incremental KV-cache decode equals the full forward
+  # exactly (tests/test_decode.py).  Train-mode capacity dropping is a
+  # load-shaping device for training batches, not a serving semantic.
+  decode: bool = False
 
   @nn.compact
   def __call__(self, x):
@@ -139,8 +145,11 @@ class _MoEFFN(nn.Module):
     logits = nn.Dense(self.num_experts, use_bias=False, dtype=jnp.float32,
                       param_dtype=jnp.float32,
                       name='router')(x2d.astype(jnp.float32))
-    capacity = max(int(np.ceil(t / self.num_experts
-                               * self.capacity_factor)), 1)
+    if self.decode:
+      capacity = t
+    else:
+      capacity = max(int(np.ceil(t / self.num_experts
+                                 * self.capacity_factor)), 1)
     dispatch, combine, aux = ep.top1_dispatch(logits, capacity,
                                               self.token_axes)
     self.sow('intermediates', 'moe_aux', aux)
@@ -167,16 +176,19 @@ class _MoEBlock(nn.Module):
   dtype: Any = jnp.float32
   ep_axis: Optional[str] = None
   token_axes: Tuple[str, ...] = ()
+  decode: bool = False
+  max_decode_len: int = 0
 
   @nn.compact
   def __call__(self, x):
     h = nn.LayerNorm(dtype=self.dtype, name='ln1')(x)
     x = x + _Attention(self.num_heads, self.make_proj, self.dtype,
-                       name='attn')(h)
+                       decode=self.decode,
+                       max_decode_len=self.max_decode_len, name='attn')(h)
     h = nn.LayerNorm(dtype=self.dtype, name='ln2')(x)
     return x + _MoEFFN(self.d_ff, self.num_experts, self.make_experts,
                        self.capacity_factor, self.dtype, self.ep_axis,
-                       self.token_axes, name='moe')(h)
+                       self.token_axes, self.decode, name='moe')(h)
 
 
 class PackedMoETransformer(nn.Module):
@@ -202,6 +214,10 @@ class PackedMoETransformer(nn.Module):
   # ('data', 'expert')): the MoE aux-loss statistics pmean over these so
   # the sharded aux matches the global-token aux exactly.
   token_axes: Tuple[str, ...] = ()
+  # Autoregressive serving: KV-cache attention + drop-free MoE routing
+  # (see _Attention.decode, _MoEFFN.decode, rigl_tpu/serve/decode.py).
+  decode: bool = False
+  max_decode_len: int = 0
 
   @nn.compact
   def __call__(self, x):
@@ -225,7 +241,8 @@ class PackedMoETransformer(nn.Module):
     for i in range(self.num_layers):
       x = _MoEBlock(self.num_heads, self.d_ff, self.num_experts, proj,
                     experts, self.capacity_factor, self.dtype,
-                    self.ep_axis, self.token_axes, name=f'block{i}')(x)
+                    self.ep_axis, self.token_axes, self.decode,
+                    self.max_decode_len, name=f'block{i}')(x)
     x = nn.LayerNorm(dtype=self.dtype, name='ln_f')(x)
     if self.vocab_size:
       x = nn.Dense(self.vocab_size, use_bias=False, dtype=self.dtype,
@@ -244,6 +261,8 @@ class DenseMoETransformer(nn.Module):
   num_experts: int = 8
   capacity_factor: float = 2.0
   dtype: Any = jnp.float32
+  decode: bool = False
+  max_decode_len: int = 0
 
   @nn.compact
   def __call__(self, x):
@@ -262,6 +281,7 @@ class DenseMoETransformer(nn.Module):
     for i in range(self.num_layers):
       x = _MoEBlock(self.num_heads, self.d_ff, self.num_experts, proj,
                     experts, self.capacity_factor, self.dtype,
+                    decode=self.decode, max_decode_len=self.max_decode_len,
                     name=f'block{i}')(x)
     x = nn.LayerNorm(dtype=self.dtype, name='ln_f')(x)
     if self.vocab_size:

@@ -19,8 +19,10 @@ Drop/grow updates change WHICH blocks are active but not the count, so all
 shapes are static across mask updates; repacking is a gather on the packed
 axis (repack_permutation).
 
-n_entries = n_active + nn (one dummy per output column, as v6) for fwd/bwd
-matmuls; dw's grid runs over the n_active real blocks only.
+n_entries = n_active + nn for fwd/bwd matmuls, ACTIVES FIRST (column-major)
+then the nn dummies (attached + empty-column; see pack_columns_slots) —
+so actives-only grids (dw always; fwd/dx in decode-size calls) are free
+static slices of the entry lists.
 """
 
 from __future__ import annotations
@@ -60,34 +62,58 @@ class Packing:
 def pack_columns_slots(block_mask: jnp.ndarray, n_active: int):
   """(nk, nn) occupancy -> (cols, rows, slots, valid), each (n_active+nn,).
 
-  Column-major actives (one dummy per column at the end of its run, as
-  v6), plus `slots`: the packed-axis index of each entry's block.  The
-  PACKED LAYOUT is defined as this column-major active order, so for the
-  fwd packing slots == cumsum(valid) - 1; the bwd (transposed) packing
-  maps its entries into the SAME layout via a permutation argsort.
+  Entry order: ALL ACTIVES FIRST (column-major), then the nn dummies —
+  "attached" dummies (one per NON-empty column) immediately after, each
+  forward-filling the final active entry's col/row/slot so every one of
+  its DMA indices is unchanged (Mosaic skips all fetches; the final
+  column's output write migrates to the last attached dummy), then
+  "empty-column" dummies carrying their own col (they zero-write the
+  output tiles of columns with no active block).  Actives-first makes the
+  actives-only grid (_mm_call rowmode=act, _dw_call) a FREE static slice
+  [:n_active] — no per-call argsort/gather on device — while the full
+  walk stays correct: attached dummies are no-op grid steps, empty
+  dummies first-and-last their own column (acc zeroed, zero written).
+
+  `slots` is the packed-axis index of each entry's block.  The PACKED
+  LAYOUT is defined as column-major active order, so for the fwd packing
+  slots == arange over the actives; the bwd (transposed) packing maps its
+  entries into the SAME layout via a permutation lookup (make_packing).
   """
   nk, nn = block_mask.shape
   occ = block_mask.astype(jnp.int32)
   n_entries = n_active + nn
-  key_real = (jax.lax.broadcasted_iota(jnp.int32, (nk, nn), 1) * (nk + 1)
-              + jax.lax.broadcasted_iota(jnp.int32, (nk, nn), 0))
-  key_real = jnp.where(occ > 0, key_real, (nn + 1) * (nk + 1)).T.reshape(-1)
-  key_dummy = jnp.arange(nn, dtype=jnp.int32) * (nk + 1) + nk
+  col_idx = jax.lax.broadcasted_iota(jnp.int32, (nk, nn), 1)
+  row_idx = jax.lax.broadcasted_iota(jnp.int32, (nk, nn), 0)
+  # Sort-key bands: actives (column-major) < attached dummies <
+  # empty-column dummies (by column) < inactive blocks (truncated away).
+  big = nn * (nk + 1)
+  key_real = jnp.where(occ > 0, col_idx * (nk + 1) + row_idx,
+                       big + nn + 2).T.reshape(-1)
+  col_count = occ.sum(axis=0)
+  j = jnp.arange(nn, dtype=jnp.int32)
+  key_dummy = jnp.where(col_count == 0, big + 1 + j, big)
   keys = jnp.concatenate([key_real, key_dummy])
+  cols_all = jnp.concatenate([col_idx.T.reshape(-1), j])
+  rows_all = jnp.concatenate([row_idx.T.reshape(-1),
+                              jnp.zeros((nn,), jnp.int32)])
+  valid_all = jnp.concatenate([occ.T.reshape(-1),
+                               jnp.zeros((nn,), jnp.int32)])
   order = jnp.argsort(keys, stable=True)[:n_entries]
   keys = keys[order]
-  cols = (keys // (nk + 1)).astype(jnp.int32)
-  raw_rows = keys % (nk + 1)
-  valid = (raw_rows != nk).astype(jnp.int32)
-  # Dummy entries forward-fill the previous VALID entry's row (their
-  # compute is skipped, so the value is semantically free): in the sliced
-  # mm variant the x BlockSpec indexes on rows, and an unchanged index
-  # lets Mosaic skip the prefetch for the dummy step.
-  pos = jnp.arange(raw_rows.shape[0], dtype=jnp.int32)
+  cols = cols_all[order].astype(jnp.int32)
+  rows = rows_all[order].astype(jnp.int32)
+  valid = valid_all[order].astype(jnp.int32)
+  # Dummies forward-fill the previous VALID entry's row (their compute is
+  # skipped, so the value is semantically free): the sliced mm variant's
+  # x BlockSpec indexes on rows, and an unchanged index lets Mosaic skip
+  # the prefetch.  Attached dummies (key == big) forward-fill col too.
+  pos = jnp.arange(n_entries, dtype=jnp.int32)
   last_valid = jax.lax.cummax(jnp.where(valid == 1, pos, -1))
-  filled = jnp.where(valid == 1, raw_rows,
-                     raw_rows[jnp.maximum(last_valid, 0)])
-  rows = jnp.where(last_valid >= 0, filled, 0).astype(jnp.int32)
+  fill = jnp.maximum(last_valid, 0)
+  rows = jnp.where(valid == 1, rows,
+                   jnp.where(last_valid >= 0, rows[fill], 0))
+  cols = jnp.where((valid == 0) & (keys == big) & (last_valid >= 0),
+                   cols[fill], cols)
   slots = jnp.maximum(jnp.cumsum(valid) - 1, 0).astype(jnp.int32)
   return cols, rows, slots, valid
 
@@ -243,22 +269,24 @@ def _mm_call(x, w_packed, pk, block, bm, interpret, transpose_w, n_out):
   xs = x.dtype.itemsize
   ws = w_packed.dtype.itemsize
   # Actives-only grid (RIGL_PACKED_MM_ROWMODE=act|dummy|auto): drop the
-  # one-dummy-per-column entries.  The kernel's first/last column-compare
-  # logic is dummy-agnostic; the dummies' only irreplaceable job is
-  # writing the output tiles of EMPTY block-columns, replaced here by a
-  # jnp.where column-presence mask on the result.  That mask is an extra
-  # elementwise pass over (m, n_out), so this pays only when m is small —
-  # decode/serving steps, where dummy grid steps were ~half the packed
-  # kernel time (PERF.md round-3 serving section).
+  # nn dummy entries.  Actives-first packing order (pack_columns_slots)
+  # makes this a FREE static slice — no device argsort (the first cut of
+  # this mode sorted per call inside the decode scan and measured as a
+  # net regression, PERF.md round-3).  The kernel's first/last
+  # column-compare logic is dummy-agnostic; the dummies' only
+  # irreplaceable job is writing the output tiles of EMPTY block-columns,
+  # replaced here by a jnp.where column-presence mask on the result.
+  # That mask is an extra elementwise pass over (m, n_out), so this pays
+  # when m is small — decode/serving steps, where dummy grid steps were
+  # ~half the packed kernel time (PERF.md round-3 serving section).
   n_cols_walk = n_out // out_bn
   n_act = n_entries - n_cols_walk
   rowmode = os.environ.get('RIGL_PACKED_MM_ROWMODE', 'auto')
   actives_only = n_act > 0 and (
       rowmode == 'act' or (rowmode == 'auto' and m <= 256))
   if actives_only:
-    act = jnp.argsort(1 - valid, stable=True)[:n_act]
-    cols, rows, slots = cols[act], rows[act], slots[act]
-    valid = jnp.ones((n_act,), jnp.int32)
+    cols, rows, slots = cols[:n_act], rows[:n_act], slots[:n_act]
+    valid = valid[:n_act]
     n_entries = n_act
   # The bm request is a hint: both variants grow it to m when VMEM allows
   # (fewer m-tiles = fewer passes over the packed weight array).
@@ -364,12 +392,11 @@ def _dw_call(x, gy, packing, block, bm, interpret, out_dtype):
     raise ValueError(
         f'packed dw: no bm halved from the request divides m ({m}); pad '
         'the row axis to a multiple of 8 (PackedDense does this).')
-  # dw grid wants actives only, ordered by slot: slot s holds the s-th
-  # active entry in fwd order, so gather coords at the positions where
-  # valid == 1 — which is exactly argsort of (1 - valid) stable, truncated.
-  act = jnp.argsort(1 - valid, stable=True)[:n_act]
-  acols = cols[act]
-  arows = rows[act]
+  # dw grid wants actives only, ordered by slot: actives-first packing
+  # order (pack_columns_slots) makes that the first n_act entries — a
+  # free static slice, no device argsort.
+  acols = cols[:n_act]
+  arows = rows[:n_act]
   # Column-panel variant: keep the whole (m, bn) g panel resident across a
   # column's active blocks (actives are column-major), so g traffic drops
   # from n_act*m*bn to one pass m*N.  Profitable only when columns average

@@ -575,10 +575,10 @@ class PackedLMTrainer:
     serving decode path (rigl_tpu/serve/decode.py: jitted prefill +
     lax.scan, KV cache; the decode twin shares this trainer's params and
     packing trees directly).  prompt_tokens: (P,) or (B, P) ints; returns
-    (B, steps) int32.  Single-device; MoE models have no decode path yet."""
+    (B, steps) int32.  Single-device.  MoE models decode DROP-FREE
+    (capacity = step token count; _MoEFFN.decode) — the standard serving
+    policy, and the one under which incremental == full forward."""
     from rigl_tpu.serve import decode_twin, make_generate_fn
-    if self.cfg.n_experts > 0:
-      raise ValueError('generate: MoE decode is not supported')
     if self.opt_state is None:
       self.init_state()
     prompt = jnp.asarray(prompt_tokens, jnp.int32)

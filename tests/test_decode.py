@@ -1,13 +1,20 @@
 """KV-cache decode parity: teacher-forced incremental decoding must
 reproduce the train-mode full causal forward's logits at every position,
 for the dense twin AND the packed model (rigl_tpu/serve/decode.py,
-models/packed_transformer.py:_Attention._decode_attend)."""
+models/packed_transformer.py:_Attention._decode_attend) — and for the MoE
+family (models/packed_moe.py), whose decode mode routes DROP-FREE
+(capacity = step token count): with no capacity drops the top-1 MoE is
+pointwise per token, so incremental equals the full forward exactly.  The
+MoE parity tests set capacity_factor = num_experts so the TRAIN-mode
+forward is drop-free too (capacity = t) and the comparison is exact."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from rigl_tpu.models.packed_moe import (DenseMoETransformer,
+                                        PackedMoETransformer)
 from rigl_tpu.models.packed_transformer import (DenseTransformer,
                                                 PackedTransformer)
 from rigl_tpu.serve import decode_twin, generate, make_generate_fn
@@ -19,6 +26,15 @@ def _models(kind):
   if kind == 'dense':
     return DenseTransformer(num_layers=2, d_model=32, d_ff=64, num_heads=2,
                             vocab_size=V)
+  if kind == 'moe_dense':
+    return DenseMoETransformer(num_layers=2, d_model=32, d_ff=64,
+                               num_heads=2, vocab_size=V, num_experts=4,
+                               capacity_factor=4.0)
+  if kind == 'moe_packed':
+    return PackedMoETransformer(num_layers=2, d_model=32, d_ff=64,
+                                num_heads=2, vocab_size=V, num_experts=4,
+                                capacity_factor=4.0, sparsity=0.5,
+                                block=(16, 16), bm=16)
   return PackedTransformer(num_layers=2, d_model=32, d_ff=64, num_heads=2,
                            vocab_size=V, sparsity=0.5, block=(16, 16), bm=16)
 
@@ -40,7 +56,8 @@ def _teacher_forced_decode(model, variables, tokens):
   return jnp.concatenate(outs, axis=1)
 
 
-@pytest.mark.parametrize('kind', ['dense', 'packed'])
+@pytest.mark.parametrize('kind', ['dense', 'packed', 'moe_dense',
+                                  'moe_packed'])
 def test_decode_matches_full_causal_forward(kind):
   model = _models(kind)
   rs = np.random.RandomState(0)
@@ -52,7 +69,7 @@ def test_decode_matches_full_causal_forward(kind):
                              rtol=2e-4, atol=2e-5)
 
 
-@pytest.mark.parametrize('kind', ['dense', 'packed'])
+@pytest.mark.parametrize('kind', ['dense', 'packed', 'moe_packed'])
 def test_generate_greedy_matches_manual_loop(kind):
   model = _models(kind)
   rs = np.random.RandomState(2)
@@ -90,6 +107,27 @@ def test_generate_sampling_reproducible_and_cached():
   np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
   c = f1(variables, prompt, jax.random.key(8))
   assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_moe_decode_is_drop_free():
+  """Serving policy: decode-mode MoE never capacity-drops.  With a
+  starved train-mode capacity (cf=0.5) the full forward drops tokens
+  (passes them through on the residual); the decode twin's teacher-forced
+  logits must instead match the DROP-FREE (cf=E) train forward exactly."""
+  kw = dict(num_layers=2, d_model=32, d_ff=64, num_heads=2, vocab_size=V,
+            num_experts=4)
+  starved = DenseMoETransformer(capacity_factor=0.5, **kw)
+  dropfree = DenseMoETransformer(capacity_factor=4.0, **kw)
+  rs = np.random.RandomState(4)
+  tokens = jnp.asarray(rs.randint(0, V, (B, T)), jnp.int32)
+  variables = starved.init(jax.random.key(1), tokens)  # cf-independent tree
+  full_starved = starved.apply(variables, tokens)
+  full_dropfree = dropfree.apply(variables, tokens)
+  assert not np.allclose(np.asarray(full_starved),
+                         np.asarray(full_dropfree)), 'no drops occurred'
+  inc = _teacher_forced_decode(starved, variables, tokens)
+  np.testing.assert_allclose(np.asarray(inc), np.asarray(full_dropfree),
+                             rtol=2e-4, atol=2e-5)
 
 
 def test_decode_twin_requires_vocab():
