@@ -9,7 +9,9 @@ Arms (2-layer decoder, d_model 128, d_ff 512, seq 128, lr 1e-3 Adam):
   packed_rigl   — sparsity 0.8 with drop/grow every 100 steps;
   packed_static — sparsity 0.8, topology frozen at init;
   moe_rigl      — Switch top-1 MoE (4 experts, expert-stacked packed
-                  kernels, per-expert drop/grow; LM_ARMS=moe_rigl).
+                  kernels, per-expert drop/grow; LM_ARMS=moe_rigl);
+  moe_static    — same MoE, topology frozen at init;
+  moe_dense     — same MoE at sparsity 0 (the dense-MoE ceiling).
 
 Reported: eval cross-entropy (nats/byte) on a held-out 10% suffix split.
 
@@ -58,9 +60,18 @@ for _dim_name in ('d_model', 'd_ff'):
                        f'{_dim_name}={CFG[_dim_name]}')
 
 
+CORPUS_SNAPSHOT = os.path.join(REPO, 'tests', 'golden', 'lm_corpus_v1.bin')
+
+
 def load_repo_bytes() -> np.ndarray:
-  """Deterministic byte stream: every tracked .py/.md under rigl_tpu/,
-  tests/, docs/ plus the top-level .md files, sorted."""
+  """Byte stream for the LM task.  Default: the FROZEN snapshot
+  tests/golden/lm_corpus_v1.bin (1,056,351 bytes of this repo's own
+  .py/.md source, frozen at round 4) so accuracy numbers stay comparable
+  round over round instead of drifting with every commit.  LM_CORPUS=live
+  regenerates from the working tree (how the snapshot was produced)."""
+  if (os.environ.get('LM_CORPUS', 'frozen') != 'live'
+      and os.path.exists(CORPUS_SNAPSHOT)):
+    return np.fromfile(CORPUS_SNAPSHOT, dtype=np.uint8).astype(np.int32)
   paths = sorted(
       glob.glob(os.path.join(REPO, 'rigl_tpu', '**', '*.py'), recursive=True)
       + glob.glob(os.path.join(REPO, 'tests', '*.py'))
@@ -72,18 +83,19 @@ def load_repo_bytes() -> np.ndarray:
 
 def run_arm(arm, train_tokens, eval_tokens, arm_sparsity):
   from rigl_tpu.train.packed_lm import PackedLMConfig, PackedLMTrainer
-  sparsity = 0.0 if arm == 'dense' else arm_sparsity
-  static = arm == 'packed_static'
+  dense = arm in ('dense', 'moe_dense')
+  sparsity = 0.0 if dense else arm_sparsity
+  static = arm.endswith('static')
   ces, updates, n_packed, n_dense = [], 0, 0, 0
   for seed in SEEDS:
     cfg = PackedLMConfig(
         n_experts=4 if arm.startswith('moe') else 0,
         sparsity=sparsity, train_steps=STEPS,
         maskupdate_begin_step=0,
-        maskupdate_end_step=0 if (static or arm == 'dense')
+        maskupdate_end_step=0 if (static or dense)
         else int(STEPS * 0.75),
         maskupdate_frequency=100, drop_fraction=0.3,
-        drop_fraction_anneal='constant' if (static or arm == 'dense')
+        drop_fraction_anneal='constant' if (static or dense)
         else 'cosine',
         seed=seed, **CFG)
     tr = PackedLMTrainer(cfg)
@@ -120,7 +132,7 @@ def main():
   out = {}
   for sp in SPARSITIES:
     for arm in ARMS:
-      key = arm if arm == 'dense' else f'{arm}@{sp}'
+      key = arm if arm in ('dense', 'moe_dense') else f'{arm}@{sp}'
       if key in out:
         continue  # dense arm runs once across the sparsity sweep
       out[key] = run_arm(arm, train_tokens, eval_tokens, sp)
