@@ -73,6 +73,12 @@ safe_flags.DEFINE_string('generate_prompt', '', 'prompt text for '
                          'first training window)')
 safe_flags.DEFINE_float('generate_temperature', 0.8, 'sampling '
                         'temperature (0 = greedy)')
+safe_flags.DEFINE_integer('generate_top_k', 0, 'top-k sampling truncation '
+                          '(0 = off)')
+safe_flags.DEFINE_float('generate_top_p', 1.0, 'nucleus (top-p) sampling '
+                        'mass (1.0 = off)')
+safe_flags.DEFINE_float('snfs_momentum', 0.9, 'EMA decay for '
+                        '--training_method=momentum (SNFS) grow scores')
 
 
 def synthetic_stream(n: int = 200_000, seed: int = 0) -> np.ndarray:
@@ -105,9 +111,14 @@ def main(argv):
   del argv
   from rigl_tpu.train.packed_lm import PackedLMConfig, PackedLMTrainer
 
-  if FLAGS.training_method not in ('rigl', 'static'):
-    raise ValueError('packed LM driver supports rigl (drop/grow) or static '
-                     f'(frozen topology), got {FLAGS.training_method!r}')
+  if FLAGS.training_method not in ('rigl', 'set', 'momentum', 'static'):
+    raise ValueError('packed LM driver supports rigl / set / momentum '
+                     '(SNFS) drop/grow or static (frozen topology), got '
+                     f'{FLAGS.training_method!r}')
+  # 'momentum' is the reference's name for SNFS (sparse_optimizers.py:126);
+  # static freezes topology via end_step=0 and rides the rigl code path.
+  algo = {'rigl': 'rigl', 'static': 'rigl', 'set': 'set',
+          'momentum': 'snfs'}[FLAGS.training_method]
 
   tokens, vocab, source = load_tokens()
   split = int(len(tokens) * 0.9)
@@ -134,9 +145,11 @@ def main(argv):
       maskupdate_frequency=FLAGS.maskupdate_frequency,
       drop_fraction=FLAGS.drop_fraction,
       drop_fraction_anneal=(FLAGS.drop_fraction_anneal
-                            if FLAGS.training_method == 'rigl' else
+                            if FLAGS.training_method != 'static' else
                             'constant'),
       seed=FLAGS.seed,
+      algo=algo,
+      snfs_momentum=FLAGS.snfs_momentum,
       n_data=FLAGS.n_data,
       n_model=FLAGS.n_model,
       n_pipe=FLAGS.n_pipe,
@@ -170,6 +183,8 @@ def main(argv):
       prompt = np.asarray(train_tokens[:32], np.int32)
     out = trainer.generate(prompt, FLAGS.generate_steps,
                            temperature=FLAGS.generate_temperature,
+                           top_k=FLAGS.generate_top_k,
+                           top_p=FLAGS.generate_top_p,
                            seed=FLAGS.seed)
     result['generated_tokens'] = out[0].tolist()
     if vocab == 256:

@@ -63,6 +63,16 @@ class PackedLMConfig:
   drop_fraction: float = 0.3
   drop_fraction_anneal: str = 'cosine'
   seed: int = 0
+  # Drop/grow algorithm on packed storage: 'rigl' (grow |dense grad| via
+  # the dense twin; gradient step SKIPPED on update iters —
+  # sparse_optimizers_base.py:487-521), 'set' (grow uniform random, NO
+  # dense backward needed — sparse_optimizers_base.py:260-274), or
+  # 'snfs' (grow |EMA of pooled dense grads|, EMA advanced at update
+  # steps — sparse_optimizers.py:126-214 at block granularity).  SET and
+  # SNFS apply the gradient step AND the mask update on update iters
+  # (reference ordering: apply, then cond_mask_update).
+  algo: str = 'rigl'
+  snfs_momentum: float = 0.9
   # SPMD: n_data data-parallel shards x n_model tensor-parallel column
   # groups over a (data, model) Mesh.  (1, 1) = single-device jit (no
   # shard_map).  n_model>1 stores every packed kernel as n_model balanced
@@ -139,6 +149,8 @@ class PackedLMTrainer:
         or cfg.d_ff % cfg.block[0] or cfg.d_ff % cfg.block[1]:
       raise ValueError(f'd_model={cfg.d_model} and d_ff={cfg.d_ff} must '
                        f'divide block {cfg.block}')
+    if cfg.algo not in ('rigl', 'set', 'snfs'):
+      raise ValueError(f'algo must be rigl/set/snfs, got {cfg.algo!r}')
     self.cfg = cfg
     if cfg.n_experts > 0:
       if cfg.n_model > 1 or cfg.n_pipe > 1 or cfg.n_seq > 1:
@@ -236,6 +248,7 @@ class PackedLMTrainer:
     self.params = None
     self.packings = None
     self.opt_state = None
+    self.ema_grids = None
     self.step = 0
     self.batches_seen = 0
     self._jit_step = None
@@ -250,6 +263,8 @@ class PackedLMTrainer:
     self.params = variables['params']
     self.packings = variables['packing']
     self.opt_state = self.tx.init(self.params)
+    self.ema_grids = (pt.init_snfs_ema_grids(self.packings)
+                      if cfg.algo == 'snfs' else None)
     self.step = 0
     self.batches_seen = 0
     self.last_update_step = self.schedule.initial_last_update_step
@@ -501,44 +516,87 @@ class PackedLMTrainer:
         self.params, self.packings, self.opt_state, xs, ys)
     return float(losses[-1])
 
+  def _dense_twin_grads(self, params, packings, x, y):
+    """Dense gradients (inactive blocks included) of the packed kernels via
+    the dense twin — the grow-score input for RigL/SNFS.  jit-traceable."""
+    dv = dense_twin_params(params, packings, self.cfg.block)
+
+    def dense_loss(dv):
+      lg = self.dense_twin.apply({'params': dv}, x).astype(jnp.float32)
+      b, s = y.shape
+      ll = jax.nn.log_softmax(lg)[jnp.arange(b)[:, None],
+                                  jnp.arange(s)[None, :], y]
+      return -jnp.mean(ll)
+
+    gd = traverse.flatten_dict(jax.grad(dense_loss)(dv))
+    flat_pk = traverse.flatten_dict(packings)
+    return {p[:-2] + ('kernel',): v for p, v in gd.items()
+            if p[:-2] + ('kernel',) in flat_pk}
+
   def _make_jit_update(self):
     """The WHOLE drop/grow update as one jitted program (dense-twin grads +
-    flax_packed_rigl_update are jit-traceable with static shapes), with
+    flax_packed_drop_grow are jit-traceable with static shapes), with
     drop_fraction traced — one compile for the whole run even over the
-    remote-TPU tunnel, instead of per-primitive eager dispatch."""
+    remote-TPU tunnel, instead of per-primitive eager dispatch.  The
+    program's grow-score stage is algo-specific (cfg.algo); the drop/grow
+    machinery (pt.flax_packed_drop_grow) is shared."""
     cfg = self.cfg
 
+    if cfg.algo == 'set':
+      @jax.jit
+      def set_fn(params, packings, opt_state, key, df):
+        grids = pt.flax_set_grow_grids(packings, key)
+        out = pt.flax_packed_drop_grow(params, packings, opt_state,
+                                       self.tx, grids, df)
+        return out.params, out.packings, out.opt_state, out.occupancy
+
+      return set_fn
+
+    if cfg.algo == 'snfs':
+      @jax.jit
+      def snfs_fn(params, packings, opt_state, ema_grids, x, y, df):
+        inst = pt.flax_rigl_grow_grids(
+            self._dense_twin_grads(params, packings, x, y), packings,
+            cfg.block)
+        ema = pt.snfs_update_ema_grids(ema_grids, inst, cfg.snfs_momentum)
+        out = pt.flax_packed_drop_grow(params, packings, opt_state,
+                                       self.tx, ema, df)
+        return out.params, out.packings, out.opt_state, out.occupancy, ema
+
+      return snfs_fn
+
     @jax.jit
-    def update_fn(params, packings, opt_state, x, y, df):
-      dv = dense_twin_params(params, packings, cfg.block)
-
-      def dense_loss(dv):
-        lg = self.dense_twin.apply({'params': dv}, x).astype(jnp.float32)
-        b, s = y.shape
-        ll = jax.nn.log_softmax(lg)[jnp.arange(b)[:, None],
-                                    jnp.arange(s)[None, :], y]
-        return -jnp.mean(ll)
-
-      gd = traverse.flatten_dict(jax.grad(dense_loss)(dv))
-      flat_pk = traverse.flatten_dict(packings)
-      dense_grads = {p[:-2] + ('kernel',): v for p, v in gd.items()
-                     if p[:-2] + ('kernel',) in flat_pk}
-      out = pt.flax_packed_rigl_update(params, packings, opt_state,
-                                       self.tx, dense_grads, df, cfg.block)
+    def rigl_fn(params, packings, opt_state, x, y, df):
+      out = pt.flax_packed_rigl_update(
+          params, packings, opt_state, self.tx,
+          self._dense_twin_grads(params, packings, x, y), df, cfg.block)
       return out.params, out.packings, out.opt_state, out.occupancy
 
-    return update_fn
+    return rigl_fn
 
   def mask_update(self, x, y):
-    """RigL drop/grow on every packed kernel: dense grads (inactive blocks
-    included) via the dense twin, drop by packed block |w| sums, slot
+    """Drop/grow on every packed kernel.  Drop scores are always the packed
+    block |w| sums; grow scores are the algorithm's: RigL = block-pooled
+    |dense grad| via the dense twin, SET = per-layer uniform random
+    (stateless fold_in(seed, step) — identical draws on every replica),
+    SNFS = |EMA of pooled dense grads| (EMA advanced here).  Slot
     permutation + grown-slot reset through optax.tree_map_params."""
     if self._jit_update is None:
       self._jit_update = self._make_jit_update()
-    df = self.schedule.get_drop_fraction(self.step)
-    self.params, self.packings, self.opt_state, occ = self._jit_update(
-        self.params, self.packings, self.opt_state, x, y,
-        jnp.float32(df))
+    cfg = self.cfg
+    df = jnp.float32(self.schedule.get_drop_fraction(self.step))
+    if cfg.algo == 'set':
+      key = jax.random.fold_in(jax.random.key(cfg.seed), self.step)
+      self.params, self.packings, self.opt_state, occ = self._jit_update(
+          self.params, self.packings, self.opt_state, key, df)
+    elif cfg.algo == 'snfs':
+      (self.params, self.packings, self.opt_state, occ,
+       self.ema_grids) = self._jit_update(
+          self.params, self.packings, self.opt_state, self.ema_grids,
+          x, y, df)
+    else:
+      self.params, self.packings, self.opt_state, occ = self._jit_update(
+          self.params, self.packings, self.opt_state, x, y, df)
     self.last_update_step = self.step
     # No jit-step reset: packings are traced args, shapes are static.
     return occ
@@ -569,7 +627,8 @@ class PackedLMTrainer:
     return total / count
 
   def generate(self, prompt_tokens, steps: int, *,
-               temperature: float = 0.0, seed: int = 0,
+               temperature: float = 0.0, top_k: int = 0,
+               top_p: float = 1.0, prompt_lens=None, seed: int = 0,
                max_len: int = 0) -> np.ndarray:
     """Autoregressive generation from the current packed weights via the
     serving decode path (rigl_tpu/serve/decode.py: jitted prefill +
@@ -591,9 +650,11 @@ class PackedLMTrainer:
                               packings)
     dm = decode_twin(self.model,
                      max_len or (int(prompt.shape[1]) + steps))
-    fn = make_generate_fn(dm, steps, temperature)
+    fn = make_generate_fn(dm, steps, temperature, top_k, top_p)
     return np.asarray(fn({'params': params, 'packing': packings}, prompt,
-                         jax.random.key(seed)))
+                         jax.random.key(seed),
+                         None if prompt_lens is None
+                         else jnp.asarray(prompt_lens, jnp.int32)))
 
   # ---------------------------------------------------------------- loop ----
   def sample_batch(self, tokens: np.ndarray):
@@ -625,16 +686,20 @@ class PackedLMTrainer:
     n_updates = 0
     loss = float('nan')
     while self.step < cfg.train_steps:
-      if self.is_update_step(self.step):
-        # RigL consumes a batch without advancing the step counter
-        # (reference skip-apply semantics, sparse_optimizers_base.py).
+      if cfg.algo == 'rigl' and self.is_update_step(self.step):
+        # RigL: the mask update REPLACES the gradient step — it consumes a
+        # batch without advancing the step counter (reference skip-apply
+        # semantics, sparse_optimizers_base.py:487-521).
         x, y = self.sample_batch(train_tokens)
         self.mask_update(x, y)
         n_updates += 1
         continue
       # Length of the run of plain gradient steps starting here: stop at
       # train_steps, the chunk cap, or the next update iter (predicted
-      # exactly — last_update_step cannot change inside the run).
+      # exactly — last_update_step cannot change inside the run).  The
+      # stop condition serves both orderings: for RigL the next loop
+      # iteration fires the replacing update; for SET/SNFS the run's LAST
+      # step lands on the update iter and the update fires after it.
       k = 1
       while (use_scan and k < steps_per_loop
              and self.step + k < cfg.train_steps
@@ -648,9 +713,17 @@ class PackedLMTrainer:
         batches = [self.sample_batch(train_tokens) for _ in range(k)]
         loss = self.train_chunk(jnp.stack([b[0] for b in batches]),
                                 jnp.stack([b[1] for b in batches]))
+        x, y = batches[-1]
       crossed = (self.step + k) // log_every - self.step // log_every \
           if log_every else 0
       self.step += k
+      if cfg.algo != 'rigl' and self.is_update_step(self.step):
+        # SET/SNFS: gradient step applies, THEN the mask update fires on
+        # the post-increment step (reference apply-then-cond ordering,
+        # sparse_optimizers_base.py:118-146) — no extra batch consumed.
+        # SNFS scores grow on the just-applied batch's dense-twin grads.
+        self.mask_update(x, y)
+        n_updates += 1
       if crossed and progress_fn:
         progress_fn({'step': self.step, 'loss': loss})
     flat_p = traverse.flatten_dict(self.params)
@@ -691,6 +764,9 @@ class PackedLMTrainer:
       flat['occ_' + '/'.join(p)] = np.asarray(occ)
     for p, v in traverse.flatten_dict(self.params).items():
       flat['param_' + '/'.join(p)] = np.asarray(v)
+    if self.ema_grids is not None:
+      for p, v in self.ema_grids.items():
+        flat['ema_' + '/'.join(p)] = np.asarray(v)
     leaves, _ = jax.tree.flatten(self.opt_state)
     for i, leaf in enumerate(leaves):
       flat[f'opt_{i}'] = np.asarray(leaf)
@@ -724,6 +800,9 @@ class PackedLMTrainer:
       new_p[p] = jnp.asarray(z['param_' + '/'.join(p)])
     self.packings = traverse.unflatten_dict(new_pk)
     self.params = traverse.unflatten_dict(new_p)
+    if self.ema_grids is not None:
+      self.ema_grids = {p: jnp.asarray(z['ema_' + '/'.join(p)])
+                        for p in self.ema_grids}
     leaves, treedef = jax.tree.flatten(self.opt_state)
     self.opt_state = jax.tree.unflatten(
         treedef, [jnp.asarray(z[f'opt_{i}']) for i in range(len(leaves))])

@@ -163,10 +163,90 @@ def packed_rigl_update(params, packings, opt_state, tx, grow_grids,
   return PackedRigLResult(new_params, new_packings, new_opt, occ)
 
 
+def flax_rigl_grow_grids(dense_grads, packings, block: Tuple[int, int]):
+  """RigL grow grids over nested flax trees: block-pooled |dense grad|
+  per packed kernel ((E, nk, nn) stacks for expert-stacked kernels, the
+  global (nk, nn) grid for TP-stacked ones) — the reference's grow score
+  (sparse_optimizers_base.py:328-334) at block granularity."""
+  import flax.traverse_util as tv
+  from rigl_tpu.ops.block_mask import pool_to_blocks
+  from rigl_tpu.parallel import packed_ep as ep
+
+  flat_pk = dict(tv.flatten_dict(packings))
+  grids = {}
+  for path, pk in flat_pk.items():
+    g = dense_grads[path]
+    if ep.is_expert_stacked(pk):
+      grids[path] = jnp.stack([
+          pool_to_blocks(jnp.abs(g[e].astype(jnp.float32)), block, 'sum')
+          for e in range(g.shape[0])])
+    else:
+      grids[path] = pool_to_blocks(jnp.abs(g.astype(jnp.float32)),
+                                   block, 'sum')
+  return grids
+
+
+def grow_grid_shapes(packings):
+  """{path: grid shape} for each packed kernel — (nk, nn) plain, the
+  global (nk, n_groups*nn_local) for TP-stacked, (E, nk, nn) for
+  expert-stacked.  The shapes flax_packed_drop_grow expects its
+  grow_grids in (and the SNFS EMA state shapes)."""
+  import flax.traverse_util as tv
+  from rigl_tpu.parallel import packed_ep as ep
+  from rigl_tpu.parallel import packed_tp as tp
+
+  shapes = {}
+  for path, pk in tv.flatten_dict(packings).items():
+    if ep.is_expert_stacked(pk):
+      shapes[path] = (ep.n_experts_of(pk),) + tuple(pk.shape)
+    elif tp.is_stacked(pk):
+      nk, nn_local = pk.shape
+      shapes[path] = (nk, tp.n_groups(pk) * nn_local)
+    else:
+      shapes[path] = tuple(pk.shape)
+  return shapes
+
+
+def flax_set_grow_grids(packings, key):
+  """SET grow grids: per-layer uniform random scores over the block grid
+  (reference sparse_optimizers_base.py:260-274 at block granularity),
+  drawn with a deterministic per-layer fold of the caller's key — fold
+  the step in BEFORE calling (jax.random.fold_in(key, step)), mirroring
+  SparseTraining's stateless-RNG discipline so every data-parallel
+  replica draws identical scores."""
+  shapes = grow_grid_shapes(packings)
+  return {path: jax.random.uniform(jax.random.fold_in(key, i),
+                                   shapes[path], jnp.float32)
+          for i, path in enumerate(sorted(shapes))}
+
+
+def init_snfs_ema_grids(packings):
+  """Zero-initialized SNFS gradient-EMA state, one grid per packed
+  kernel (shape per grow_grid_shapes)."""
+  return {path: jnp.zeros(s, jnp.float32)
+          for path, s in grow_grid_shapes(packings).items()}
+
+
+def snfs_update_ema_grids(ema_grids, inst_grids, momentum: float):
+  """SNFS EMA advance: ema <- momentum * ema + (1 - momentum) * inst.
+
+  The reference's momentum method EMAs elementwise dense grads every
+  gradient step (sparse_optimizers.py:126-214, decay pre-apply); on
+  packed storage inactive elements do not exist between update steps, so
+  the packed variant keeps the EMA at block-grid granularity and
+  advances it at mask-update steps from the dense-twin pooled |grad| —
+  accumulated gradient information across updates (SNFS's core idea)
+  without a dense backward on the hot path."""
+  return {p: momentum * ema_grids[p] + (1.0 - momentum) * inst_grids[p]
+          for p in ema_grids}
+
+
 def flax_packed_rigl_update(params, packings, opt_state, tx, dense_grads,
                             drop_fraction, block: Tuple[int, int]):
-  """packed_rigl_update over NESTED flax trees (any model built from
-  PackedDense / PackedConv1x1 / PackedTransformer).
+  """packed drop/grow over NESTED flax trees with RigL scores (grow =
+  block-pooled |dense grad|).  See flax_packed_drop_grow for the
+  score-agnostic machinery; SET/SNFS callers build their grow_grids with
+  flax_set_grow_grids / snfs_update_ema_grids instead.
 
   Args:
     params: the model's 'params' tree (packed kernels + any dense leaves).
@@ -184,9 +264,21 @@ def flax_packed_rigl_update(params, packings, opt_state, tx, dense_grads,
   Returns:
     PackedRigLResult with nested params/packings trees.
   """
+  return flax_packed_drop_grow(
+      params, packings, opt_state, tx,
+      flax_rigl_grow_grids(dense_grads, packings, block), drop_fraction)
+
+
+def flax_packed_drop_grow(params, packings, opt_state, tx, grow_grids,
+                          drop_fraction):
+  """Score-agnostic drop/grow over nested flax trees — the seam every
+  packed algorithm shares (RigL / SET / SNFS differ only in grow_grids).
+
+  grow_grids: {flattened-path tuple: grid} per packed kernel, shapes per
+  grow_grid_shapes.  Drop scores are always the packed block |w| sums
+  (the algorithms share the reference's drop rule)."""
   import flax.traverse_util as tv
   import optax
-  from rigl_tpu.ops.block_mask import pool_to_blocks
   from rigl_tpu.parallel import packed_ep as ep
   from rigl_tpu.parallel import packed_tp as tp
 
@@ -201,23 +293,19 @@ def flax_packed_rigl_update(params, packings, opt_state, tx, dense_grads,
       continue
     pk = flat_pk[path]
     if ep.is_expert_stacked(pk):
-      # Expert-stacked kernel (MoE): dense grads are (E, K, N); drop/grow
-      # runs independently per expert (static per-expert counts are the
-      # shard shapes; perm/grown carry the expert axis — the same 2-D
-      # opt-slot fix as TP stacking applies).
-      grids = jnp.stack([
-          pool_to_blocks(jnp.abs(dense_grads[path][e].astype(jnp.float32)),
-                         block, 'sum')
-          for e in range(dense_grads[path].shape[0])])
-      out_ep = ep.expert_drop_grow(flat_p[path], pk, grids, drop_fraction)
+      # Expert-stacked kernel (MoE): drop/grow runs independently per
+      # expert (static per-expert counts are the shard shapes; perm/grown
+      # carry the expert axis — the same 2-D opt-slot fix as TP stacking
+      # applies).
+      out_ep = ep.expert_drop_grow(flat_p[path], pk, grow_grids[path],
+                                   drop_fraction)
       perm_flat[path] = out_ep.perm
       grown_flat[path] = out_ep.grown
       flat_p[path] = out_ep.packed
       flat_pk[path] = out_ep.packing
       occ[path] = out_ep.occupancy
       continue
-    grid = pool_to_blocks(jnp.abs(dense_grads[path].astype(jnp.float32)),
-                          block, 'sum')
+    grid = grow_grids[path]
     if tp.is_stacked(pk):
       # TP-stacked kernel: drop/grow per column group (static per-group
       # counts are the shard shapes; perm/grown carry the group axis).

@@ -28,8 +28,9 @@ SHAPES = [  # (m, K, N, block)
 ]
 
 
-def run_variant(variant, x, wp, packing, block):
+def run_variant(variant, x, wp, packing, block, rowmode='dummy'):
   os.environ['RIGL_PACKED_MM_VARIANT'] = variant
+  os.environ['RIGL_PACKED_MM_ROWMODE'] = rowmode
 
   @jax.jit
   def f(x, wp):
@@ -60,9 +61,21 @@ def main():
     x = jnp.asarray(rs.randn(m, kdim) * 0.1, jnp.bfloat16)
 
     yp, dxp, dwp = run_variant('panel', x, wp, packing, block)
-    ys, dxs, dws = run_variant('slice', x, wp, packing, block)
-    bit = (np.array_equal(yp, ys) and np.array_equal(dxp, dxs)
-           and np.array_equal(dwp, dws))
+    bit = True
+    # All (variant, rowmode) combinations must be BIT-EXACT: actives keep
+    # the same entry order and f32 accumulation in every mode; dummy
+    # entries only zero-write empty columns, which rowmode=act replaces
+    # with the column-presence where-mask (exact zeros either way).
+    for var in ('panel', 'slice'):
+      for rm in ('dummy', 'act'):
+        if (var, rm) == ('panel', 'dummy'):
+          continue
+        ys, dxs, dws = run_variant(var, x, wp, packing, block, rm)
+        ok = (np.array_equal(yp, ys) and np.array_equal(dxp, dxs)
+              and np.array_equal(dwp, dws))
+        if not ok:
+          print(f'  MISMATCH {var}/{rm} vs panel/dummy')
+        bit = bit and ok
 
     # dense reference (f32 matmul of the bf16-masked weight)
     wd = np.asarray(

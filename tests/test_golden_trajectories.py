@@ -35,6 +35,8 @@ from rigl_tpu.sparsity.schedules import UpdateSchedule
 from rigl_tpu.transforms import algorithms
 from rigl_tpu.transforms.sparse_training import SparseState, SparseTraining
 
+pytestmark = pytest.mark.slow  # heavy suite; run with --runslow
+
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), 'golden')
 NPZ = os.path.join(GOLDEN_DIR, 'trajectory_traces.npz')
 META = os.path.join(GOLDEN_DIR, 'trajectory_traces_meta.json')

@@ -94,6 +94,102 @@ def test_packed_lm_resume_is_deterministic(tmp_path):
                                   err_msg='/'.join(p))
 
 
+def test_packed_lm_set_trains_and_updates():
+  """SET on packed storage: gradient step applies on update iters (post-
+  increment gating — reference sparse_optimizers_base.py:118-146), so NO
+  extra batches are consumed; grow is random (stateless fold_in(seed,
+  step)), so topology changes without any dense backward."""
+  import flax.traverse_util as traverse
+  from rigl_tpu.transforms.packed_training import occupancy_grid
+  tokens = synthetic_stream(6000, seed=0)
+  tr = PackedLMTrainer(PackedLMConfig(train_steps=60, algo='set', **CFG))
+  tr.init_state()
+  occ0 = {p: np.asarray(occupancy_grid(pk))
+          for p, pk in traverse.flatten_dict(tr.packings).items()}
+  res = tr.train(tokens, eval_tokens=tokens[-2000:])
+  assert res['mask_updates'] >= 2
+  # SET consumes exactly one batch per gradient step — updates ride along.
+  assert res['batches'] == res['train_steps']
+  assert res['final_loss'] < 3.6, res
+  changed = 0
+  for p, pk in traverse.flatten_dict(tr.packings).items():
+    occ1 = np.asarray(occupancy_grid(pk))
+    assert occ1.sum() == occ0[p].sum(), p     # count invariance
+    changed += int((occ1 != occ0[p]).sum())
+  assert changed > 0                          # topology actually moved
+
+
+def test_packed_lm_set_is_deterministic_across_runs():
+  """SET grow draws are stateless (fold_in(seed, step)) — two identical
+  runs produce bit-identical params and packings."""
+  import flax.traverse_util as traverse
+  tokens = synthetic_stream(5000, seed=4)
+  a = PackedLMTrainer(PackedLMConfig(train_steps=45, algo='set', **CFG))
+  a.train(tokens)
+  b = PackedLMTrainer(PackedLMConfig(train_steps=45, algo='set', **CFG))
+  b.train(tokens)
+  fa, fb = traverse.flatten_dict(a.params), traverse.flatten_dict(b.params)
+  for p in fa:
+    np.testing.assert_array_equal(np.asarray(fa[p]), np.asarray(fb[p]),
+                                  err_msg='/'.join(p))
+
+
+def test_packed_lm_set_scan_chunk_matches_per_step():
+  """The lax.scan-chunked loop must stay bit-identical for SET's apply-
+  then-update ordering (the chunk's LAST step lands on the update iter)."""
+  import flax.traverse_util as traverse
+  tokens = synthetic_stream(6000, seed=3)
+  a = PackedLMTrainer(PackedLMConfig(train_steps=50, algo='set', **CFG))
+  res_a = a.train(tokens)
+  b = PackedLMTrainer(PackedLMConfig(train_steps=50, algo='set', **CFG))
+  res_b = b.train(tokens, steps_per_loop=16)
+  assert res_a['mask_updates'] == res_b['mask_updates'] >= 2
+  assert res_a['batches'] == res_b['batches'] == 50
+  fa, fb = traverse.flatten_dict(a.params), traverse.flatten_dict(b.params)
+  for p in fa:
+    np.testing.assert_array_equal(np.asarray(fa[p]), np.asarray(fb[p]),
+                                  err_msg='/'.join(p))
+
+
+def test_packed_lm_snfs_trains_and_updates():
+  """SNFS on packed storage: block-grid gradient EMA advances at update
+  steps (grow = |EMA|); apply-then-update ordering like SET."""
+  tokens = synthetic_stream(6000, seed=1)
+  tr = PackedLMTrainer(PackedLMConfig(train_steps=60, algo='snfs', **CFG))
+  res = tr.train(tokens, eval_tokens=tokens[-2000:])
+  assert res['mask_updates'] >= 2
+  assert res['batches'] == res['train_steps']
+  assert res['final_loss'] < 3.6, res
+  assert tr.ema_grids is not None
+  # EMA advanced from zeros: every packed kernel's grid has mass.
+  for p, g in tr.ema_grids.items():
+    assert float(np.abs(np.asarray(g)).sum()) > 0, p
+
+
+def test_packed_lm_snfs_resume_carries_ema(tmp_path):
+  """save/restore round-trips the SNFS EMA grids; the resumed run matches
+  an uninterrupted one bit-for-bit."""
+  import flax.traverse_util as traverse
+  tokens = synthetic_stream(6000, seed=2)
+  cfg = PackedLMConfig(train_steps=50, algo='snfs', **CFG)
+  a = PackedLMTrainer(cfg)
+  a.train(tokens)
+
+  b = PackedLMTrainer(PackedLMConfig(train_steps=25, algo='snfs', **CFG))
+  b.train(tokens)
+  b.save(str(tmp_path))
+  c = PackedLMTrainer(cfg)
+  assert c.restore(str(tmp_path))
+  for p in b.ema_grids:
+    np.testing.assert_array_equal(np.asarray(c.ema_grids[p]),
+                                  np.asarray(b.ema_grids[p]))
+  c.train(tokens)
+  fa, fc = traverse.flatten_dict(a.params), traverse.flatten_dict(c.params)
+  for p in fa:
+    np.testing.assert_array_equal(np.asarray(fa[p]), np.asarray(fc[p]),
+                                  err_msg='/'.join(p))
+
+
 def test_packed_lm_generate_from_trained_state():
   """Trainer -> serving: generate() runs the KV-cache decode path on the
   trainer's own packed params/packing trees — greedy output is

@@ -12,6 +12,8 @@ import pytest
 from rigl_tpu.parallel import packed_pp as pp
 from rigl_tpu.train.packed_lm import PackedLMConfig, PackedLMTrainer
 
+pytestmark = pytest.mark.slow  # heavy suite; run with --runslow
+
 CFG = dict(vocab_size=64, num_layers=2, d_model=32, d_ff=64, num_heads=2,
            seq_len=16, sparsity=0.5, block=(16, 16), bm=32,
            learning_rate=1e-2, warmup_steps=1, train_steps=4, batch_size=8,

@@ -340,6 +340,75 @@ def test_packed_dense_trains():
   assert losses[-1] < losses[0] * 0.8
 
 
+def test_flax_set_grow_grids_shapes_and_determinism():
+  """SET grow grids: one uniform grid per packed kernel at the grid shape,
+  deterministic in the caller's key (the step fold happens upstream)."""
+  _, _, occ, n_active, packing, packed, _ = _setup()
+  packings = {'blk': {'attn': {'kernel': packing}},
+              'head': {'kernel': packing}}
+  shapes = pt.grow_grid_shapes(packings)
+  assert shapes[('blk', 'attn', 'kernel')] == tuple(packing.shape)
+  key = jax.random.key(7)
+  g1 = pt.flax_set_grow_grids(packings, key)
+  g2 = pt.flax_set_grow_grids(packings, key)
+  for p in shapes:
+    assert g1[p].shape == shapes[p]
+    np.testing.assert_array_equal(np.asarray(g1[p]), np.asarray(g2[p]))
+  # Distinct layers draw distinct scores from the same key.
+  assert not np.array_equal(np.asarray(g1[('blk', 'attn', 'kernel')]),
+                            np.asarray(g1[('head', 'kernel')]))
+  g3 = pt.flax_set_grow_grids(packings, jax.random.key(8))
+  assert not np.array_equal(np.asarray(g1[('head', 'kernel')]),
+                            np.asarray(g3[('head', 'kernel')]))
+
+
+def test_packed_set_drop_grow_matches_dense_premask_path():
+  """flax_packed_drop_grow with SET's random grids == the dense premask
+  blockwise path fed the SAME scores (grid expanded so the dense arm's
+  block-sum pool reproduces it exactly)."""
+  import optax
+  wm, mask, occ, n_active, packing, packed, _ = _setup()
+  params = {'l': {'kernel': packed}}
+  packings = {'l': {'kernel': packing}}
+  tx = optax.sgd(0.1, momentum=0.9)
+  opt = tx.init(params)
+  grids = pt.flax_set_grow_grids(packings, jax.random.key(0))
+  df = 0.3
+
+  out = pt.flax_packed_drop_grow(params, packings, opt, tx, grids, df)
+
+  dense_grow = bm_lib.expand_from_blocks(
+      grids[('l', 'kernel')] / (BLK[0] * BLK[1]), (K, N), BLK)
+  res = bm_lib.blockwise_drop_grow(mask, wm, jnp.abs(wm), dense_grow, df,
+                                   BLK)
+  ref_occ = (bm_lib.pool_to_blocks(res.mask, BLK, 'max') > 0).astype(
+      jnp.int32)
+  np.testing.assert_array_equal(
+      np.asarray(out.occupancy[('l', 'kernel')]), np.asarray(ref_occ))
+  np.testing.assert_array_equal(
+      np.asarray(bsp.unpack_dense(out.params['l']['kernel'],
+                                  out.packings['l']['kernel'], BLK)),
+      np.asarray(res.weights * res.mask))
+
+
+def test_snfs_ema_grids_math():
+  """init zeros; ema <- m*ema + (1-m)*inst, closed form over two steps."""
+  _, _, occ, n_active, packing, packed, _ = _setup()
+  packings = {'l': {'kernel': packing}}
+  ema = pt.init_snfs_ema_grids(packings)
+  path = ('l', 'kernel')
+  assert ema[path].shape == tuple(packing.shape)
+  assert float(np.abs(np.asarray(ema[path])).sum()) == 0.0
+  i1 = {path: jnp.full(packing.shape, 2.0, jnp.float32)}
+  i2 = {path: jnp.full(packing.shape, 6.0, jnp.float32)}
+  m = 0.5
+  ema = pt.snfs_update_ema_grids(ema, i1, m)
+  ema = pt.snfs_update_ema_grids(ema, i2, m)
+  np.testing.assert_allclose(np.asarray(ema[path]),
+                             np.full(packing.shape, 0.5 * 1.0 + 3.0),
+                             rtol=1e-6)
+
+
 @pytest.mark.parametrize('n_act,branch', [(12, 'panel'), (4, 'perblock')])
 def test_packed_dw_matches_dense_oracle_both_branches(n_act, branch):
   """dw parity through both _dw_call paths: the column-panel variant

@@ -111,6 +111,7 @@ def test_sparse_dqn_target_sync_copies_masks():
     assert float(jnp.sum(m)) == float(jnp.sum(state.sparse.masks[p]))
 
 
+@pytest.mark.slow
 def test_sparse_dqn_cartpole_learns():
   """Sparse DQN on CartPole: average return after training clearly beats the
   random policy (~20 steps/episode)."""
@@ -139,6 +140,7 @@ def test_sparse_ppo_smoke():
   assert result['global_sparsity'] == pytest.approx(0.7, abs=0.05)
 
 
+@pytest.mark.slow
 def test_sparse_ppo_cartpole_learns():
   from rigl_tpu.rl.ppo import PPOConfig, SparsePPO
   env = CartPole()
@@ -185,6 +187,7 @@ def test_sparse_sac_smoke():
   assert np.isfinite(result['alpha'])
 
 
+@pytest.mark.slow
 def test_sparse_sac_pendulum_improves():
   """SAC on Pendulum: trained return must beat the random policy's
   (~ -1200 average) by a wide margin."""
@@ -343,6 +346,7 @@ def test_sparse_sac_premask_invariant_and_runs():
   _assert_premasked(state.critic_params, state.critic_sparse.masks)
 
 
+@pytest.mark.slow
 def test_sparse_conv_dqn_breakout_learns():
   """A SPARSE CONV agent learns the MinAtar-style Breakout: RigL@0.8 DQN
   with a width-0.25 Impala conv Q-network, per-phase average return rises
