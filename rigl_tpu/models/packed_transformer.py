@@ -108,7 +108,14 @@ class _Attention(nn.Module):
     """KV-cache attention: insert the s_in new k/v at the running index,
     attend q against the whole cache with a global-position causal mask.
     At init time (cache variables not yet materialized) falls back to the
-    plain local causal product so shapes/params trace identically."""
+    plain local causal product so shapes/params trace identically.
+
+    Variable-length batched prompts: prompts are LEFT-padded to a common
+    length (so every row's last prompt token sits at the same position and
+    decode appends at one shared index); the per-row 'pad_len' cache entry
+    (number of leading pad positions, default 0) masks the pad positions'
+    k/v out of every attention — serve/decode.py sets it from the caller's
+    prompt_lens before prefill."""
     L = self.max_decode_len
     if L < 1:
       raise ValueError('decode=True requires max_decode_len >= 1')
@@ -119,6 +126,8 @@ class _Attention(nn.Module):
                        lambda: jnp.zeros((b, h, L, hd), v.dtype))
     idx = self.variable('cache', 'index',
                         lambda: jnp.zeros((), jnp.int32))
+    pad = self.variable('cache', 'pad_len',
+                        lambda: jnp.zeros((b,), jnp.int32))
     if is_init:
       k_all, v_all = k, v
       q_pos = jnp.arange(s)
@@ -132,7 +141,8 @@ class _Attention(nn.Module):
       q_pos = start + jnp.arange(s)
       k_pos = jnp.arange(L)
     logits = jnp.einsum('bhqd,bhkd->bhqk', q, k_all) / np.sqrt(hd)
-    mask = k_pos[None, :] <= q_pos[:, None]
+    mask = ((k_pos[None, :] <= q_pos[:, None])[None, None]
+            & (k_pos[None, :] >= pad.value[:, None])[:, None, None, :])
     logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(v.dtype)
     o = jnp.einsum('bhqk,bhkd->bhqd', probs, v_all)

@@ -134,3 +134,78 @@ def test_decode_twin_requires_vocab():
   with pytest.raises(ValueError, match='vocab'):
     decode_twin(DenseTransformer(num_layers=1, d_model=32, d_ff=64,
                                  num_heads=2, vocab_size=0), L)
+
+
+def test_sample_topk_and_topp_filters():
+  """_sample oracle: top_k=1 == greedy; top-k draws stay in the top-k set;
+  nucleus keeps exactly the smallest prefix whose mass reaches top_p."""
+  from rigl_tpu.serve.decode import _sample
+  logits = jnp.asarray([[2.0, 1.0, 0.5, -1.0, -3.0]] * 4)
+
+  g = _sample(logits, jax.random.key(0), 0.0)
+  np.testing.assert_array_equal(np.asarray(g), np.zeros(4, np.int32))
+  k1 = _sample(logits, jax.random.key(1), 1.0, top_k=1)
+  np.testing.assert_array_equal(np.asarray(k1), np.zeros(4, np.int32))
+
+  draws = np.concatenate([
+      np.asarray(_sample(logits, jax.random.key(i), 1.0, top_k=2))
+      for i in range(40)])
+  assert set(draws) <= {0, 1}
+  assert len(set(draws)) == 2            # both survivors actually sampled
+
+  # Nucleus at temperature 1: softmax([2,1,.5,-1,-3]) ≈
+  # [.60, .22, .13, .03, .004]; top_p=0.7 keeps {0,1} (0.60 < 0.7 adds 1).
+  draws = np.concatenate([
+      np.asarray(_sample(logits, jax.random.key(100 + i), 1.0, top_p=0.7))
+      for i in range(40)])
+  assert set(draws) <= {0, 1}
+  # top_p just above the first prob keeps only token 0.
+  draws = np.concatenate([
+      np.asarray(_sample(logits, jax.random.key(200 + i), 1.0, top_p=0.5))
+      for i in range(20)])
+  assert set(draws) == {0}
+
+
+def test_generate_topk_topp_reproducible_in_program():
+  """Sampling configs thread through the jitted generate program."""
+  model = _models('packed')
+  rs = np.random.RandomState(5)
+  prompt = jnp.asarray(rs.randint(0, V, (B, P)), jnp.int32)
+  variables = model.init(jax.random.key(1), prompt)
+  dm = decode_twin(model, L)
+  f = make_generate_fn(dm, 4, 1.0, 3, 0.9)
+  assert f is make_generate_fn(dm, 4, 1.0, 3, 0.9)
+  a = f(variables, prompt, jax.random.key(7))
+  b = f(variables, prompt, jax.random.key(7))
+  np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+  assert a.shape == (B, 4)
+  # Greedy with top_k/top_p set still equals plain greedy (filters are
+  # no-ops at temperature 0).
+  g1 = generate(dm, variables, prompt, 4, temperature=0.0, top_k=3)
+  g2 = generate(dm, variables, prompt, 4, temperature=0.0)
+  np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+
+
+@pytest.mark.parametrize('kind', ['dense', 'packed'])
+def test_generate_variable_length_prompts_match_solo_rows(kind):
+  """LEFT-padded mixed-length batch + prompt_lens: every row's greedy
+  continuation must equal generating that row alone unpadded (the family
+  has no positional encoding, so left-shifted rows are exact)."""
+  model = _models(kind)
+  rs = np.random.RandomState(6)
+  lens = [P, P - 2]
+  rows = [jnp.asarray(rs.randint(0, V, (n,)), jnp.int32) for n in lens]
+  variables = model.init(jax.random.key(1), rows[0][None])
+  dm = decode_twin(model, L)
+  steps = 5
+
+  padded = jnp.stack([
+      jnp.concatenate([jnp.zeros((P - n,), jnp.int32), r])
+      for n, r in zip(lens, rows)])
+  out = generate(dm, variables, padded, steps,
+                 prompt_lens=jnp.asarray(lens, jnp.int32))
+
+  for i, (n, r) in enumerate(zip(lens, rows)):
+    solo = generate(dm, variables, r[None], steps)
+    np.testing.assert_array_equal(np.asarray(out[i]), np.asarray(solo[0]),
+                                  err_msg=f'row {i} len {n}')
