@@ -4,8 +4,10 @@ from rigl_tpu.models.lenet import LeNet5, SmallCNN
 from rigl_tpu.models.mlp import BudgetMLP, MnistMLP, width_for_param_budget
 from rigl_tpu.models.mobilenet import MobileNetV1, MobileNetV2
 from rigl_tpu.models.packed_convnet import (DenseConvNet,
+                                            DenseResNetTwin,
                                             DenseWideResNetTwin,
                                             PackedConvNet,
+                                            PackedResNet,
                                             PackedWideResNet)
 from rigl_tpu.models.packed_transformer import (DenseTransformer,
                                                 PackedTransformer)

@@ -5,6 +5,7 @@ through PackedClassifierTrainer."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rigl_tpu.models.packed_convnet import DenseConvNet, PackedConvNet
 from rigl_tpu.train.packed_classifier import (PackedClassifierConfig,
@@ -35,6 +36,93 @@ def test_packed_convnet_matches_dense_twin():
   assert y_packed.shape == (4, 10)
   np.testing.assert_allclose(np.asarray(y_packed), np.asarray(y_twin),
                              rtol=1e-4, atol=1e-4)
+
+
+def test_packed_resnet50_matches_dense_twin_and_layer_census():
+  """Full PackedResNet-50 (reference generator resnet_model.py:577-731,
+  depth table :771-796): packed forward == dense-twin forward on the
+  unpacked params, and the layer census is exactly the expected one —
+  16 bottlenecks x 3 packed convs at (16,16) blocks (stem/proj/head
+  dense per the first/last convention, resnet_model.py:628,722)."""
+  import flax.traverse_util as traverse
+  from rigl_tpu.models.packed_convnet import (DenseResNetTwin, PackedResNet,
+                                              RESNET_BOTTLENECK_DEPTHS)
+  kw = dict(depth=50, num_classes=10, width_mult=0.25)
+  model = PackedResNet(sparsity=0.5, block=(16, 16), bm=32, **kw)
+  x = jnp.asarray(np.random.RandomState(0).randn(2, 32, 32, 3), jnp.float32)
+  variables = model.init(jax.random.key(0), x)
+  flat_pk = traverse.flatten_dict(variables['packing'])
+  n_blocks = sum(RESNET_BOTTLENECK_DEPTHS[50])
+  assert n_blocks == 16
+  assert len(flat_pk) == 3 * n_blocks        # reduce + conv3x3 + expand
+  assert not any('stem' in p or 'head' in p or 'proj' in p for p in flat_pk)
+
+  y_packed = model.apply(variables, x)
+  twin = DenseResNetTwin(block=(16, 16), **kw)
+  tv = dense_twin_params(variables['params'], variables['packing'], (16, 16))
+  y_twin = twin.apply({'params': tv}, x)
+  assert y_packed.shape == (2, 10)
+  np.testing.assert_allclose(np.asarray(y_packed), np.asarray(y_twin),
+                             rtol=1e-4, atol=1e-4)
+
+
+def test_packed_resnet_block_eligibility_fallback():
+  """At a block larger than group-1's widths, the small convs fall back to
+  plain dense (the packed analog of forced-dense ERK layers) while the
+  wide groups stay packed — and the twin still matches."""
+  import flax.traverse_util as traverse
+  from rigl_tpu.models.packed_convnet import DenseResNetTwin, PackedResNet
+  kw = dict(depth=50, num_classes=10, width_mult=0.25)
+  # width_mult 0.25 -> widths 16/32/64/128; block (32,32) makes the
+  # width-16 group-1 convs ineligible.
+  model = PackedResNet(sparsity=0.5, block=(32, 32), bm=32, **kw)
+  x = jnp.asarray(np.random.RandomState(1).randn(2, 32, 32, 3), jnp.float32)
+  variables = model.init(jax.random.key(0), x)
+  flat_pk = traverse.flatten_dict(variables['packing'])
+  g1_packed = [p for p in flat_pk if p[0].startswith('g0_')]
+  # g0 reduce (cin 64 or 256 -> 16): cout 16 % 32 != 0 -> dense fallback;
+  # g0 expand cin=16 -> dense.  Later groups all packed.
+  assert not g1_packed
+  assert any(p[0].startswith('g3_') for p in flat_pk)
+
+  y_packed = model.apply(variables, x)
+  twin = DenseResNetTwin(block=(32, 32), **kw)
+  tv = dense_twin_params(variables['params'], variables['packing'], (32, 32))
+  y_twin = twin.apply({'params': tv}, x)
+  np.testing.assert_allclose(np.asarray(y_packed), np.asarray(y_twin),
+                             rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_packed_resnet50_trains_with_rigl_updates():
+  """End-to-end: the full packed RN50 trains under PackedClassifierTrainer
+  with drop/grow on packed storage (dense-twin grow grads), loss drops.
+  ~10 min CPU (RN50-depth compile) — slow tier."""
+  from rigl_tpu.models.packed_convnet import DenseResNetTwin, PackedResNet
+  rs = np.random.RandomState(0)
+  # Tiny learnable synthetic task: class = argmax of channel means.
+  x = rs.randn(256, 16, 16, 3).astype(np.float32)
+  y = np.argmax(x.mean(axis=(1, 2)), axis=-1).astype(np.int32)
+  kw = dict(depth=50, num_classes=3, width_mult=0.25)
+  # Compile dominates the cost; 150 steps (~19 epochs of the 256-sample
+  # set) are cheap and let the deep pre-act stack actually fit the task.
+  cfg = PackedClassifierConfig(
+      sparsity=0.5, block=(16, 16), learning_rate=0.05, train_steps=150,
+      batch_size=32, maskupdate_begin_step=0, maskupdate_end_step=100,
+      maskupdate_frequency=30, seed=0)
+  model = PackedResNet(sparsity=cfg.sparsity, block=cfg.block, bm=32, **kw)
+  twin = DenseResNetTwin(block=cfg.block, **kw)
+  tr = PackedClassifierTrainer(model, twin, cfg, input_shape=(16, 16, 3))
+  losses = []
+  res = tr.train((x, y), eval_xy=(x[:64], y[:64]),
+                 progress_fn=lambda m: losses.append(m['loss']),
+                 log_every=10)
+  assert res['mask_updates'] >= 2
+  assert res['batches'] == res['train_steps'] + res['mask_updates']
+  assert res['n_params_packed'] < 0.6 * res['n_params_dense_equiv']
+  assert np.isfinite(res['final_loss'])
+  assert res['final_loss'] < losses[0], (losses, res)
+  assert res['eval_top_1'] > 0.6, res
 
 
 def test_packed_convnet_trains_on_digits():
