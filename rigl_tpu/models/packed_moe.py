@@ -150,11 +150,20 @@ class _MoEFFN(nn.Module):
     else:
       capacity = max(int(np.ceil(t / self.num_experts
                                  * self.capacity_factor)), 1)
-    dispatch, combine, aux = ep.top1_dispatch(logits, capacity,
-                                              self.token_axes)
+    # Gather-form dispatch: top-1 routing assigns each token at most one
+    # (expert, slot), so the Switch one-hot (T,E,C) dispatch/combine
+    # einsums — O(cf * T^2 * d) f32 MXU work that rivals the expert FFN
+    # compute at bench token counts — reduce to one gather each way,
+    # O(T*d) data movement.  Values are bit-identical to the einsum form
+    # (each output element is the same single product; tested against the
+    # top1_dispatch oracle in tests/test_packed_moe.py).
+    src, flat_ec, kept, gate, aux = ep.top1_gather_dispatch(
+        logits, capacity, self.token_axes)
     self.sow('intermediates', 'moe_aux', aux)
-    xe = jnp.einsum('td,tec->ecd', x2d.astype(jnp.float32),
-                    dispatch).astype(self.dtype)
+    x_pad = jnp.concatenate(
+        [x2d.astype(jnp.float32), jnp.zeros((1, d), jnp.float32)])
+    E = self.num_experts
+    xe = x_pad[src].reshape(E, capacity, d).astype(self.dtype)
     if self.ep_axis is not None:
       xe = ep.dispatch_to_experts(xe, self.ep_axis)
     h = self.make_experts(self.d_ff, 'fc1')(xe)
@@ -162,7 +171,8 @@ class _MoEFFN(nn.Module):
     ye = self.make_experts(d, 'fc2')(h)
     if self.ep_axis is not None:
       ye = ep.return_from_experts(ye, self.ep_axis)
-    y2d = jnp.einsum('ecd,tec->td', ye.astype(jnp.float32), combine)
+    y_tok = ye.astype(jnp.float32).reshape(E * capacity, d)[flat_ec]
+    y2d = jnp.where(kept, gate, 0.0)[:, None] * y_tok
     return y2d.astype(self.dtype).reshape(b, s, d)
 
 

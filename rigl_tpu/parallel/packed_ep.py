@@ -155,6 +155,52 @@ def top1_dispatch(logits: jnp.ndarray, capacity: int,
   return dispatch, combine, aux
 
 
+def top1_gather_dispatch(logits: jnp.ndarray, capacity: int,
+                         token_axes: Tuple[str, ...] = ()):
+  """top1_dispatch's routing as INTEGER gather/scatter indices.
+
+  The one-hot (T, E, C) dispatch/combine einsums cost O(T*E*C*d) f32
+  MXU work (cf * T^2 * d at Switch capacity) — at bench token counts that
+  rivals the expert FFN compute itself and rides in BOTH bench arms.
+  Since top-1 routing assigns each token at most ONE (expert, slot), the
+  same dispatch is a gather: this returns the slot->token and
+  token->slot index maps; _MoEFFN turns them into O(T*d) data movement.
+  Routing semantics (argmax choice, first-come-first-served slots,
+  capacity drops, gate, pmean'd aux) are IDENTICAL to top1_dispatch —
+  equivalence is tested exactly.
+
+  Returns:
+    src: (E*C,) int32 — token index filling each expert slot, T (one past
+      the last token — callers gather from a zero-padded x) for empty
+      slots.
+    flat_ec: (T,) int32 — each token's slot in the flattened (E*C,)
+      expert-major layout (clipped for dropped tokens — mask with kept).
+    kept: (T,) bool — token routed within capacity.
+    gate: (T,) f32 — router probability of the chosen expert.
+    aux: scalar load-balance loss (same statistic as top1_dispatch).
+  """
+  T, E = logits.shape
+  probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+  choice = jnp.argmax(probs, axis=-1)                      # (T,)
+  onehot = jax.nn.one_hot(choice, E, dtype=jnp.float32)    # (T, E)
+  pos = jnp.cumsum(onehot, axis=0) * onehot - 1.0
+  pos_tok = jnp.max(pos, axis=-1).astype(jnp.int32)        # (T,) >= 0
+  kept = pos_tok < capacity
+  flat_ec = (choice.astype(jnp.int32) * capacity
+             + jnp.minimum(pos_tok, capacity - 1))
+  src = jnp.full((E * capacity + 1,), T, jnp.int32).at[
+      jnp.where(kept, flat_ec, E * capacity)].set(
+          jnp.arange(T, dtype=jnp.int32))[:E * capacity]
+  gate = jnp.sum(probs * onehot, axis=-1)                  # (T,)
+  frac = jnp.mean(onehot, axis=0)
+  mean_prob = jnp.mean(probs, axis=0)
+  if token_axes:
+    frac = jax.lax.pmean(frac, token_axes)
+    mean_prob = jax.lax.pmean(mean_prob, token_axes)
+  aux = E * jnp.sum(frac * mean_prob)
+  return src, flat_ec, kept, gate, aux
+
+
 def dispatch_to_experts(xe: jnp.ndarray, ep_axis: str) -> jnp.ndarray:
   """(E, C, d) locally-dispatched slabs -> (E_local, n_ep*C, d): each
   device keeps its experts' slabs from every source shard (token order

@@ -50,6 +50,67 @@ def test_top1_dispatch_capacity_and_combine():
   assert np.isfinite(float(aux)) and float(aux) >= 1.0 - 1e-6
 
 
+def test_gather_dispatch_matches_onehot_oracle():
+  """top1_gather_dispatch (the O(T*d) gather form _MoEFFN runs) must
+  reproduce the one-hot top1_dispatch einsums BIT-EXACTLY: same slab
+  contents, same combined outputs, same aux — including capacity drops
+  and empty slots."""
+  rs = np.random.RandomState(2)
+  T, E, C, d = 24, 3, 4, 8
+  logits = jnp.asarray(rs.randn(T, E) * 2.0, jnp.float32)
+  x2d = jnp.asarray(rs.randn(T, d), jnp.float32)
+  ye = jnp.asarray(rs.randn(E, C, d), jnp.float32)
+
+  dispatch, combine, aux_ref = ep.top1_dispatch(logits, C)
+  xe_ref = jnp.einsum('td,tec->ecd', x2d, dispatch)
+  y2d_ref = jnp.einsum('ecd,tec->td', ye, combine)
+  assert float(jnp.sum(dispatch)) < T          # some drops occurred
+
+  src, flat_ec, kept, gate, aux = ep.top1_gather_dispatch(logits, C)
+  x_pad = jnp.concatenate([x2d, jnp.zeros((1, d), jnp.float32)])
+  xe = x_pad[src].reshape(E, C, d)
+  y2d = jnp.where(kept, gate, 0.0)[:, None] * ye.reshape(E * C, d)[flat_ec]
+
+  np.testing.assert_array_equal(np.asarray(xe), np.asarray(xe_ref))
+  np.testing.assert_array_equal(np.asarray(y2d), np.asarray(y2d_ref))
+  np.testing.assert_array_equal(np.asarray(aux), np.asarray(aux_ref))
+
+
+def test_gather_dispatch_gradients_match_onehot_oracle():
+  """d(loss)/d(x) and d(loss)/d(router logits) through the gather form ==
+  through the one-hot einsum form (the scatter/gather transposes must
+  route cotangents exactly like the einsum transposes)."""
+  rs = np.random.RandomState(3)
+  T, E, C, d = 16, 4, 3, 8
+  x0 = jnp.asarray(rs.randn(T, d), jnp.float32)
+  lw = jnp.asarray(rs.randn(d, E) * 0.5, jnp.float32)
+  we = jnp.asarray(rs.randn(E, d, d) * 0.3, jnp.float32)
+  tgt = jnp.asarray(rs.randn(T, d), jnp.float32)
+
+  def loss_onehot(x, lw):
+    dispatch, combine, aux = ep.top1_dispatch(x @ lw, C)
+    xe = jnp.einsum('td,tec->ecd', x, dispatch)
+    ye = jnp.einsum('ecd,edf->ecf', xe, we)
+    y = jnp.einsum('ecd,tec->td', ye, combine)
+    return jnp.sum((y - tgt) ** 2) + 0.1 * aux
+
+  def loss_gather(x, lw):
+    src, flat_ec, kept, gate, aux = ep.top1_gather_dispatch(x @ lw, C)
+    x_pad = jnp.concatenate([x, jnp.zeros((1, d), jnp.float32)])
+    xe = x_pad[src].reshape(E, C, d)
+    ye = jnp.einsum('ecd,edf->ecf', xe, we)
+    y = jnp.where(kept, gate, 0.0)[:, None] * ye.reshape(E * C, d)[flat_ec]
+    return jnp.sum((y - tgt) ** 2) + 0.1 * aux
+
+  l1, (gx1, gl1) = jax.value_and_grad(loss_onehot, argnums=(0, 1))(x0, lw)
+  l2, (gx2, gl2) = jax.value_and_grad(loss_gather, argnums=(0, 1))(x0, lw)
+  np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+  np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), rtol=1e-5,
+                             atol=1e-6)
+  np.testing.assert_allclose(np.asarray(gl1), np.asarray(gl2), rtol=1e-5,
+                             atol=1e-6)
+
+
 def test_top1_dispatch_aux_is_one_at_perfect_balance():
   # Uniform logits -> argmax all expert 0, so use a balanced assignment:
   # strongly peaked logits, equal counts per expert.
