@@ -46,6 +46,13 @@ class PackedClassifierConfig:
   drop_fraction: float = 0.3
   drop_fraction_anneal: str = 'cosine'
   seed: int = 0
+  # Drop/grow algorithm on packed storage — same semantics as
+  # train/packed_lm.PackedLMConfig.algo: 'rigl' (grow |dense grad|,
+  # update REPLACES the gradient step), 'set' (grow uniform random,
+  # apply-then-update, no dense backward), 'snfs' (grow |EMA of pooled
+  # dense grads|, apply-then-update).
+  algo: str = 'rigl'
+  snfs_momentum: float = 0.9
   # SPMD: n_data data-parallel shards x n_model tensor-parallel column
   # groups over a (data, model) Mesh; (1, 1) = single-device jit.  With
   # n_model>1 the model must store tp_shards=n_model stacked kernels and
@@ -62,6 +69,8 @@ class PackedClassifierTrainer:
 
   def __init__(self, model, dense_twin, cfg: PackedClassifierConfig,
                input_shape: Tuple[int, ...], model_sharded=None):
+    if cfg.algo not in ('rigl', 'set', 'snfs'):
+      raise ValueError(f'algo must be rigl/set/snfs, got {cfg.algo!r}')
     self.model = model
     self.dense_twin = dense_twin
     self.cfg = cfg
@@ -94,6 +103,7 @@ class PackedClassifierTrainer:
     self.params = None
     self.packings = None
     self.opt_state = None
+    self.ema_grids = None
     self.step = 0
     self.batches_seen = 0
     self._jit_step = None
@@ -106,6 +116,8 @@ class PackedClassifierTrainer:
     self.params = variables['params']
     self.packings = variables.get('packing', {})
     self.opt_state = self.tx.init(self.params)
+    self.ema_grids = (pt.init_snfs_ema_grids(self.packings)
+                      if cfg.algo == 'snfs' else None)
     self.step = 0
     self.batches_seen = 0
     self.last_update_step = self.schedule.initial_last_update_step
@@ -171,36 +183,76 @@ class PackedClassifierTrainer:
   def is_update_step(self, step: int) -> bool:
     return bool(self.schedule.is_update_iter(step, self.last_update_step))
 
+  def _dense_twin_grads(self, params, packings, x, y):
+    """Dense grads of the packed kernels via the twin (RigL/SNFS grow
+    scores); jit-traceable — see train/packed_lm.py."""
+    dv = dense_twin_params(params, packings, self.cfg.block)
+
+    def dense_loss(dv):
+      lg = self.dense_twin.apply({'params': dv}, x).astype(jnp.float32)
+      ll = jax.nn.log_softmax(lg)
+      return -jnp.mean(ll[jnp.arange(y.shape[0]), y])
+
+    gd = traverse.flatten_dict(jax.grad(dense_loss)(dv))
+    flat_pk = traverse.flatten_dict(packings)
+    return {p[:-2] + ('kernel',): v for p, v in gd.items()
+            if p[:-2] + ('kernel',) in flat_pk}
+
   def _make_jit_update(self):
     """The whole drop/grow update as ONE jitted program, drop_fraction
-    traced — one compile per run (see train/packed_lm.py)."""
+    traced — one compile per run; grow-score stage per cfg.algo (see
+    train/packed_lm.py for the algorithm semantics)."""
     cfg = self.cfg
 
+    if cfg.algo == 'set':
+      @jax.jit
+      def set_fn(params, packings, opt_state, key, df):
+        grids = pt.flax_set_grow_grids(packings, key)
+        out = pt.flax_packed_drop_grow(params, packings, opt_state,
+                                       self.tx, grids, df)
+        return out.params, out.packings, out.opt_state, out.occupancy
+
+      return set_fn
+
+    if cfg.algo == 'snfs':
+      @jax.jit
+      def snfs_fn(params, packings, opt_state, ema_grids, x, y, df):
+        inst = pt.flax_rigl_grow_grids(
+            self._dense_twin_grads(params, packings, x, y), packings,
+            cfg.block)
+        ema = pt.snfs_update_ema_grids(ema_grids, inst, cfg.snfs_momentum)
+        out = pt.flax_packed_drop_grow(params, packings, opt_state,
+                                       self.tx, ema, df)
+        return out.params, out.packings, out.opt_state, out.occupancy, ema
+
+      return snfs_fn
+
     @jax.jit
-    def update_fn(params, packings, opt_state, x, y, df):
-      dv = dense_twin_params(params, packings, cfg.block)
-
-      def dense_loss(dv):
-        lg = self.dense_twin.apply({'params': dv}, x).astype(jnp.float32)
-        ll = jax.nn.log_softmax(lg)
-        return -jnp.mean(ll[jnp.arange(y.shape[0]), y])
-
-      gd = traverse.flatten_dict(jax.grad(dense_loss)(dv))
-      flat_pk = traverse.flatten_dict(packings)
-      dense_grads = {p[:-2] + ('kernel',): v for p, v in gd.items()
-                     if p[:-2] + ('kernel',) in flat_pk}
-      out = pt.flax_packed_rigl_update(params, packings, opt_state,
-                                       self.tx, dense_grads, df, cfg.block)
+    def rigl_fn(params, packings, opt_state, x, y, df):
+      out = pt.flax_packed_rigl_update(
+          params, packings, opt_state, self.tx,
+          self._dense_twin_grads(params, packings, x, y), df, cfg.block)
       return out.params, out.packings, out.opt_state, out.occupancy
 
-    return update_fn
+    return rigl_fn
 
   def mask_update(self, x, y):
     if self._jit_update is None:
       self._jit_update = self._make_jit_update()
-    df = self.schedule.get_drop_fraction(self.step)
-    self.params, self.packings, self.opt_state, occ = self._jit_update(
-        self.params, self.packings, self.opt_state, x, y, jnp.float32(df))
+    cfg = self.cfg
+    df = jnp.float32(self.schedule.get_drop_fraction(self.step))
+    if cfg.algo == 'set':
+      key = jax.random.fold_in(jax.random.key(cfg.seed), self.step)
+      self.params, self.packings, self.opt_state, occ = self._jit_update(
+          self.params, self.packings, self.opt_state, key, df)
+    elif cfg.algo == 'snfs':
+      (self.params, self.packings, self.opt_state, occ,
+       self.ema_grids) = self._jit_update(
+          self.params, self.packings, self.opt_state, self.ema_grids,
+          x, y, df)
+    else:
+      self.params, self.packings, self.opt_state, occ = self._jit_update(
+          self.params, self.packings, self.opt_state, x, y, df)
     self.last_update_step = self.step
     # No jit-step reset: packings are traced args, shapes are static.
     return occ
@@ -244,12 +296,19 @@ class PackedClassifierTrainer:
     loss = float('nan')
     while self.step < cfg.train_steps:
       x, y = self.sample_batch(xtr, ytr)
-      if self.is_update_step(self.step):
+      if cfg.algo == 'rigl' and self.is_update_step(self.step):
+        # RigL: update REPLACES the gradient step (batch consumed, step
+        # unchanged — sparse_optimizers_base.py:487-521).
         self.mask_update(x, y)
         n_updates += 1
         continue
       loss = self.train_step(x, y)
       self.step += 1
+      if cfg.algo != 'rigl' and self.is_update_step(self.step):
+        # SET/SNFS: apply-then-update on the post-increment step, no
+        # extra batch (sparse_optimizers_base.py:118-146).
+        self.mask_update(x, y)
+        n_updates += 1
       if log_every and self.step % log_every == 0 and progress_fn:
         progress_fn({'step': self.step, 'loss': loss})
     flat_p = traverse.flatten_dict(self.params)

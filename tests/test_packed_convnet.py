@@ -125,6 +125,45 @@ def test_packed_resnet50_trains_with_rigl_updates():
   assert res['eval_top_1'] > 0.6, res
 
 
+@pytest.mark.parametrize('algo', ['set', 'snfs'])
+def test_packed_classifier_set_snfs_semantics(algo):
+  """SET/SNFS through PackedClassifierTrainer: apply-then-update ordering
+  (batches == steps), topology moves, counts preserved, SNFS EMA has
+  mass after the first update."""
+  import flax.traverse_util as traverse
+  from rigl_tpu.transforms.packed_training import occupancy_grid
+  rs = np.random.RandomState(0)
+  x = rs.randn(200, 8, 8, 1).astype(np.float32)
+  y = rs.randint(0, 10, 200).astype(np.int32)
+  # Wider stages than KW: the 1x1/1x2 block grids there give n_active 1,
+  # where floor(drop_fraction * 1) = 0 drops nothing and topology CANNOT
+  # move (reference floor arithmetic); 2x2 and 2x4 grids can.
+  kw = dict(num_classes=10, stem_width=32, stages=((32, 1), (64, 1)))
+  cfg = PackedClassifierConfig(
+      sparsity=0.5, block=(16, 16), learning_rate=0.05, train_steps=12,
+      batch_size=50, maskupdate_begin_step=0, maskupdate_end_step=100,
+      maskupdate_frequency=3, drop_fraction=0.5, seed=0, algo=algo)
+  model = PackedConvNet(sparsity=cfg.sparsity, block=cfg.block, bm=32, **kw)
+  twin = DenseConvNet(**kw)
+  tr = PackedClassifierTrainer(model, twin, cfg, input_shape=(8, 8, 1))
+  tr.init_state()
+  occ0 = {p: np.asarray(occupancy_grid(pk))
+          for p, pk in traverse.flatten_dict(tr.packings).items()}
+  res = tr.train((x, y))
+  assert res['mask_updates'] >= 2
+  assert res['batches'] == res['train_steps'] == 12
+  changed = 0
+  for p, pk in traverse.flatten_dict(tr.packings).items():
+    occ1 = np.asarray(occupancy_grid(pk))
+    assert occ1.sum() == occ0[p].sum(), p
+    changed += int((occ1 != occ0[p]).sum())
+  assert changed > 0
+  if algo == 'snfs':
+    assert tr.ema_grids is not None
+    assert any(float(np.abs(np.asarray(g)).sum()) > 0
+               for g in tr.ema_grids.values())
+
+
 def test_packed_convnet_trains_on_digits():
   xtr, ytr, xte, yte = _digits_8x8()
   cfg = PackedClassifierConfig(
