@@ -73,6 +73,37 @@ def main():
   fp = make_generate_fn(decode_twin(packed, MAXLEN), STEPS, 0.0)
   t_packed = bench(f'packed decode (s={SPARSITY})', fp, pv, prompt)
 
+  # Mixed-length batch row (DEC_MIXED=1): LEFT-padded prompts of lengths
+  # PROMPT, PROMPT-16, ... with prompt_lens — the serving-realistic shape
+  # (variable requests batched together).  Same program structure (one
+  # prefill at the common padded length + scan), so per-token time should
+  # match the uniform-length rows; this row documents that the varlen path
+  # costs nothing.
+  if os.environ.get('DEC_MIXED', '0') == '1':
+    lens = [max(8, PROMPT - 16 * i) for i in range(BATCH)]
+    rows = [rs.randint(0, VOCAB, (n,)) for n in lens]
+    padded = jnp.asarray(np.stack(
+        [np.pad(r, (PROMPT - len(r), 0)) for r in rows]), jnp.int32)
+    plens = jnp.asarray(lens, jnp.int32)
+
+    def fd_mixed(v, p, k):
+      return fd(v, p, k, plens)
+
+    def fp_mixed(v, p, k):
+      return fp(v, p, k, plens)
+
+    t_dense_mix = bench('dense decode (mixed-length)', fd_mixed, dv, padded)
+    t_packed_mix = bench(f'packed decode (mixed-length, s={SPARSITY})',
+                         fp_mixed, pv, padded)
+    print(json.dumps({
+        'metric': 'decode_mixed_length_speedup_vs_dense',
+        'value': round(t_dense_mix / t_packed_mix, 3),
+        'unit': 'x dense (per-token, left-padded varlen batch)',
+        'lens': lens,
+        'dense_us_per_tok': round(t_dense_mix * 1e6, 1),
+        'packed_us_per_tok': round(t_packed_mix * 1e6, 1),
+    }), flush=True)
+
   # Analytic weight bytes per step (bf16), the roofline denominator.
   params = LAYERS * (4 * D_MODEL * D_MODEL + 2 * D_MODEL * D_FF)
   print(json.dumps({

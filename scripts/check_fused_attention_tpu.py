@@ -1,6 +1,10 @@
 """On-chip parity for the fused flash-attention core vs the unfused
 einsum path (models/packed_transformer.py:_Attention): full transformer
-fwd + grads at the bench config must agree to bf16 tolerance.
+fwd + grads at the bench config must agree to bf16 tolerance, AND a
+seeded SEQ-2048 train trajectory (the shape where TR_FUSED=1 is the
+recommendation, PERF.md) must track the unfused arm's loss curve within
+the bf16 band over FA_TRAJ_STEPS Adam steps — not just a one-shot grad
+check.
 
   python scripts/check_fused_attention_tpu.py
 """
@@ -15,6 +19,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from rigl_tpu.models.packed_transformer import DenseTransformer
+
+TRAJ_STEPS = int(os.environ.get('FA_TRAJ_STEPS', 30))
+TRAJ_SEQ = int(os.environ.get('FA_TRAJ_SEQ', 2048))
 
 
 def run(fused, x, y):
@@ -39,6 +46,54 @@ def run(fused, x, y):
   return float(l), jax.tree.map(np.asarray, g)
 
 
+def run_trajectory(fused):
+  """Seeded Adam training at seq TRAJ_SEQ: identical init, identical
+  batch stream; returns the loss trace.  The fused and unfused arms
+  differ only in the attention core, so divergence beyond the bf16 band
+  means the kernel is unsafe to recommend for long-context training."""
+  import optax
+  model = DenseTransformer(num_layers=1, d_model=256, d_ff=1024,
+                           num_heads=4, vocab_size=256,
+                           dtype=jnp.bfloat16, fused_attention=fused)
+  rs = np.random.RandomState(7)
+  # A learnable stream (order-1 Markov bytes) so losses MOVE: parity on a
+  # flat loss would be vacuous.
+  table = rs.randint(0, 256, size=(256,))
+  stream = np.empty(200_000, np.int64)
+  stream[0] = 1
+  noise = rs.rand(len(stream))
+  rnd = rs.randint(0, 256, size=len(stream))
+  for i in range(1, len(stream)):
+    stream[i] = rnd[i] if noise[i] < 0.2 else table[stream[i - 1]]
+
+  x0 = jnp.zeros((2, TRAJ_SEQ), jnp.int32)
+  v = jax.jit(model.init)(jax.random.key(0), x0)
+  tx = optax.adam(1e-3)
+  opt = tx.init(v['params'])
+
+  @jax.jit
+  def step(params, opt, x, y):
+    def loss(params):
+      logits = model.apply({'params': params}, x).astype(jnp.float32)
+      logp = jax.nn.log_softmax(logits, -1)
+      return -jnp.mean(jnp.take_along_axis(logp, y[..., None], -1))
+    l, g = jax.value_and_grad(loss)(params)
+    up, opt2 = tx.update(g, opt, params)
+    return optax.apply_updates(params, up), opt2, l
+
+  params = v['params']
+  losses = []
+  bs = np.random.RandomState(11)
+  for _ in range(TRAJ_STEPS):
+    starts = bs.randint(0, len(stream) - TRAJ_SEQ - 1, size=2)
+    win = np.stack([stream[s:s + TRAJ_SEQ + 1] for s in starts])
+    x = jnp.asarray(win[:, :-1], jnp.int32)
+    y = jnp.asarray(win[:, 1:], jnp.int32)
+    params, opt, l = step(params, opt, x, y)
+    losses.append(float(l))
+  return np.asarray(losses)
+
+
 def main():
   rs = np.random.RandomState(0)
   x = jnp.asarray(rs.randint(0, 256, (2, 512)), jnp.int32)
@@ -57,6 +112,23 @@ def main():
   print(f'loss fused {l_f:.6f} unfused {l_u:.6f} rel {rel_l:.2e} '
         f'worst grad rel {worst:.2e}')
   assert rel_l < 5e-3 and worst < 5e-2, 'fused attention diverges!'
+
+  tf = run_trajectory(True)
+  tu = run_trajectory(False)
+  for i in range(0, TRAJ_STEPS, max(TRAJ_STEPS // 10, 1)):
+    print(f'step {i:3d}: fused {tf[i]:.4f} unfused {tu[i]:.4f}',
+          flush=True)
+  # Bit paths differ, so trajectories walk apart sample-by-sample; the
+  # claim that matters is that both arms LEARN THE SAME CURVE: compare
+  # the mean loss over the last third (where the model has converged onto
+  # the stream's structure) and require agreement within the bf16 band.
+  tail = TRAJ_STEPS // 3
+  mf, mu = float(tf[-tail:].mean()), float(tu[-tail:].mean())
+  rel_traj = abs(mf - mu) / (abs(mu) + 1e-12)
+  print(f'trajectory seq={TRAJ_SEQ}: tail-mean fused {mf:.4f} '
+        f'unfused {mu:.4f} rel {rel_traj:.2e}')
+  assert tf[-tail:].mean() < tf[:tail].mean(), 'fused arm did not learn'
+  assert rel_traj < 3e-2, 'fused training trajectory diverges!'
   print('ALL OK')
 
 

@@ -58,6 +58,7 @@ def _teacher_forced_decode(model, variables, tokens):
 
 @pytest.mark.parametrize('kind', ['dense', 'packed', 'moe_dense',
                                   'moe_packed'])
+@pytest.mark.slow
 def test_decode_matches_full_causal_forward(kind):
   model = _models(kind)
   rs = np.random.RandomState(0)
@@ -70,6 +71,7 @@ def test_decode_matches_full_causal_forward(kind):
 
 
 @pytest.mark.parametrize('kind', ['dense', 'packed', 'moe_packed'])
+@pytest.mark.slow
 def test_generate_greedy_matches_manual_loop(kind):
   model = _models(kind)
   rs = np.random.RandomState(2)
@@ -93,6 +95,7 @@ def test_generate_greedy_matches_manual_loop(kind):
                                 np.stack([np.asarray(w) for w in want], 1))
 
 
+@pytest.mark.slow
 def test_generate_sampling_reproducible_and_cached():
   model = _models('dense')
   rs = np.random.RandomState(3)
@@ -109,6 +112,7 @@ def test_generate_sampling_reproducible_and_cached():
   assert not np.array_equal(np.asarray(a), np.asarray(c))
 
 
+@pytest.mark.slow
 def test_moe_decode_is_drop_free():
   """Serving policy: decode-mode MoE never capacity-drops.  With a
   starved train-mode capacity (cf=0.5) the full forward drops tokens
@@ -166,6 +170,7 @@ def test_sample_topk_and_topp_filters():
   assert set(draws) == {0}
 
 
+@pytest.mark.slow
 def test_generate_topk_topp_reproducible_in_program():
   """Sampling configs thread through the jitted generate program."""
   model = _models('packed')
@@ -187,6 +192,7 @@ def test_generate_topk_topp_reproducible_in_program():
 
 
 @pytest.mark.parametrize('kind', ['dense', 'packed'])
+@pytest.mark.slow
 def test_generate_variable_length_prompts_match_solo_rows(kind):
   """LEFT-padded mixed-length batch + prompt_lens: every row's greedy
   continuation must equal generating that row alone unpadded (the family

@@ -108,6 +108,7 @@ def test_space_invaders_alien_landing_or_bullet_ends():
   pytest.fail('noop policy must die to a bullet or landing aliens')
 
 
+@pytest.mark.slow
 def test_dqn_runs_on_new_envs():
   """The sparse DQN stack (Nature conv net) trains on each new env."""
   from rigl_tpu.rl import DQNConfig, SparseDQN

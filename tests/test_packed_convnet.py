@@ -38,6 +38,7 @@ def test_packed_convnet_matches_dense_twin():
                              rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_packed_resnet50_matches_dense_twin_and_layer_census():
   """Full PackedResNet-50 (reference generator resnet_model.py:577-731,
   depth table :771-796): packed forward == dense-twin forward on the
@@ -66,6 +67,7 @@ def test_packed_resnet50_matches_dense_twin_and_layer_census():
                              rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_packed_resnet_block_eligibility_fallback():
   """At a block larger than group-1's widths, the small convs fall back to
   plain dense (the packed analog of forced-dense ERK layers) while the

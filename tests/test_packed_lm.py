@@ -2,6 +2,7 @@
 learns, survives RigL updates, and resumes deterministically."""
 
 import numpy as np
+import pytest
 
 from rigl_tpu.drivers.packed_lm import synthetic_stream
 from rigl_tpu.train.packed_lm import PackedLMConfig, PackedLMTrainer
@@ -13,6 +14,7 @@ CFG = dict(vocab_size=64, num_layers=1, d_model=64, d_ff=128, num_heads=4,
            maskupdate_frequency=20, seed=0)
 
 
+@pytest.mark.slow
 def test_packed_lm_trains_and_updates():
   tokens = synthetic_stream(6000, seed=0)
   tr = PackedLMTrainer(PackedLMConfig(train_steps=60, **CFG))
@@ -54,6 +56,7 @@ def test_packed_lm_no_recompile_across_mask_updates():
   assert compiles['update'] == 1, compiles
 
 
+@pytest.mark.slow
 def test_packed_lm_scan_chunk_matches_per_step():
   """steps_per_loop > 1 (lax.scan train_chunk) must be bit-identical to
   the per-step loop: same batch stream, same mask updates, same params."""
@@ -71,6 +74,7 @@ def test_packed_lm_scan_chunk_matches_per_step():
                                   err_msg='/'.join(p))
 
 
+@pytest.mark.slow
 def test_packed_lm_resume_is_deterministic(tmp_path):
   tokens = synthetic_stream(6000, seed=1)
   cfg_a = PackedLMConfig(train_steps=50, **CFG)
@@ -119,6 +123,7 @@ def test_packed_lm_set_trains_and_updates():
   assert changed > 0                          # topology actually moved
 
 
+@pytest.mark.slow
 def test_packed_lm_set_is_deterministic_across_runs():
   """SET grow draws are stateless (fold_in(seed, step)) — two identical
   runs produce bit-identical params and packings."""
@@ -134,6 +139,7 @@ def test_packed_lm_set_is_deterministic_across_runs():
                                   err_msg='/'.join(p))
 
 
+@pytest.mark.slow
 def test_packed_lm_set_scan_chunk_matches_per_step():
   """The lax.scan-chunked loop must stay bit-identical for SET's apply-
   then-update ordering (the chunk's LAST step lands on the update iter)."""
@@ -166,6 +172,7 @@ def test_packed_lm_snfs_trains_and_updates():
     assert float(np.abs(np.asarray(g)).sum()) > 0, p
 
 
+@pytest.mark.slow
 def test_packed_lm_snfs_resume_carries_ema(tmp_path):
   """save/restore round-trips the SNFS EMA grids; the resumed run matches
   an uninterrupted one bit-for-bit."""
@@ -190,6 +197,7 @@ def test_packed_lm_snfs_resume_carries_ema(tmp_path):
                                   err_msg='/'.join(p))
 
 
+@pytest.mark.slow
 def test_packed_lm_generate_from_trained_state():
   """Trainer -> serving: generate() runs the KV-cache decode path on the
   trainer's own packed params/packing trees — greedy output is

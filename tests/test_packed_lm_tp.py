@@ -15,6 +15,8 @@ from rigl_tpu.parallel import packed_tp as tp
 from rigl_tpu.train.packed_lm import (PackedLMConfig, PackedLMTrainer,
                                       dense_twin_params)
 
+pytestmark = pytest.mark.slow  # heavy suite; run with --runslow
+
 CFG = dict(vocab_size=64, num_layers=1, d_model=32, d_ff=64, num_heads=2,
            seq_len=16, sparsity=0.5, block=(16, 16), bm=32,
            learning_rate=1e-2, warmup_steps=2, train_steps=6, batch_size=4,

@@ -191,6 +191,7 @@ def test_moe_forward_matches_dense_twin():
 
 
 # ------------------------------------------------------------ training ----
+@pytest.mark.slow
 def test_moe_lm_trains_and_updates_masks():
   tr = PackedLMTrainer(PackedLMConfig(**CFG))
   tr.init_state()

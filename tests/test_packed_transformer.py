@@ -5,6 +5,7 @@ import flax.traverse_util as traverse
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import optax
 
 from rigl_tpu.models.packed_transformer import (DenseTransformer,
@@ -75,6 +76,7 @@ def test_packed_transformer_lm_trains():
   assert losses[-1] < losses[0] * 0.7, losses[::10]
 
 
+@pytest.mark.slow
 def test_packed_transformer_rigl_update():
   """RigL drop/grow on the transformer's packed kernels via the nested-tree
   helper: dense grads come from the dense twin, occupancy counts are
