@@ -45,13 +45,20 @@ _BLOCK = tuple(int(v) for v in os.environ.get('LM_BLOCK', '16,16').split(','))
 if len(_BLOCK) != 2:
   raise SystemExit(f'LM_BLOCK must be "bk,bn" (two ints), got '
                    f'{os.environ.get("LM_BLOCK")!r}')
+# LM_LR: shared Adam lr.  LM_DENSE_LR: override for the dense (s=0) arms —
+# at d_model 512 the 5x-params dense model is unstable at the sparse arms'
+# 1e-3 (bounces on the byte-LM plateau at ~2.4-2.7 nats for 10k steps on
+# every seed, measured round 4); 3e-4 descends smoothly.  Each arm runs at
+# its stable lr, like the reference's separately-tuned dense baselines.
+LR = float(os.environ.get('LM_LR', 1e-3))
+DENSE_LR = float(os.environ.get('LM_DENSE_LR', 3e-4))
 CFG = dict(vocab_size=256, num_layers=2,
            d_model=int(os.environ.get('LM_D_MODEL', 128)),
            d_ff=int(os.environ.get('LM_D_FF', 512)),
            num_heads=int(os.environ.get('LM_HEADS', 4)),
            seq_len=int(os.environ.get('LM_SEQ', 128)),
            block=_BLOCK, bm=int(os.environ.get('LM_BM', 128)),
-           learning_rate=1e-3, warmup_steps=50,
+           warmup_steps=50,
            batch_size=int(os.environ.get('LM_BATCH', 8)))
 for _dim_name in ('d_model', 'd_ff'):
   for _b in _BLOCK:
@@ -90,6 +97,7 @@ def run_arm(arm, train_tokens, eval_tokens, arm_sparsity):
   for seed in SEEDS:
     cfg = PackedLMConfig(
         n_experts=4 if arm.startswith('moe') else 0,
+        learning_rate=DENSE_LR if dense else LR,
         sparsity=sparsity, train_steps=STEPS,
         maskupdate_begin_step=0,
         maskupdate_end_step=0 if (static or dense)
@@ -115,6 +123,7 @@ def run_arm(arm, train_tokens, eval_tokens, arm_sparsity):
     updates = res['mask_updates']
     n_packed, n_dense = res['n_params_packed'], res['n_params_dense_equiv']
   out = {'arm': arm, 'sparsity': sparsity,
+         'learning_rate': DENSE_LR if dense else LR,
          'eval_ce_nats_mean': round(float(np.mean(ces)), 4),
          'eval_ce_per_seed': [round(c, 4) for c in ces],
          'eval_bits_per_byte': round(float(np.mean(ces)) / np.log(2), 4),
