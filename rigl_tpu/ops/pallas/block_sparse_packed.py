@@ -283,15 +283,16 @@ def _mm_call(x, w_packed, pk, block, bm, interpret, transpose_w, n_out):
   n_act = n_entries - n_cols_walk
   rowmode = os.environ.get('RIGL_PACKED_MM_ROWMODE', 'auto')
   # auto: act when the where-mask pass is cheap (small m — decode steps,
-  # measured 273 vs 288 us/tok at batch-1 s=0.8) OR when dummies are a
-  # large fraction of grid steps (n_act <= n_cols: avg <1 active block
-  # per column, the s>=0.95 regime — measured +4.3% gross on the s=0.95
-  # transformer train arm, PERF.md round 4).  At moderate sparsity with
-  # large m, the (m, n_out) where pass costs more than the ~n_cols
-  # predicate-skipped dummy steps save, so dummy stays the default.
+  # measured 273 vs 288 us/tok at batch-1 s=0.8) OR when dummies utterly
+  # dominate the grid (n_act <= n_cols/4 — the s=0.95@512-block regime,
+  # measured +4.3% gross on that train arm).  The threshold is strict
+  # because the (m, n_out) where pass is expensive at training m: at
+  # s=0.8@512-block (n_act ~= 0.75*n_cols) flipping to act cost the
+  # transformer arm -12% e2e (PERF.md round 4), so anything short of
+  # dummy-dominated grids keeps the dummy walk.
   actives_only = n_act > 0 and (
       rowmode == 'act'
-      or (rowmode == 'auto' and (m <= 256 or n_act <= n_cols_walk)))
+      or (rowmode == 'auto' and (m <= 256 or n_act <= n_cols_walk // 4)))
   if actives_only:
     cols, rows, slots = cols[:n_act], rows[:n_act], slots[:n_act]
     valid = valid[:n_act]
