@@ -32,9 +32,16 @@ safe_flags.DEFINE_string('dataset', 'mnist', 'mnist|cifar10')
 safe_flags.DEFINE_string('arch', 'mobilenet',
                          "mobilenet (dense depthwise + packed 1x1s) | "
                          "wrn (WideResNet, every 3x3 conv on packed "
-                         "SPATIAL storage — layers/packed_conv.PackedConv)")
+                         "SPATIAL storage — layers/packed_conv.PackedConv)"
+                         " | rn50 (full bottleneck ResNet, all eligible "
+                         "convs packed — models/packed_convnet."
+                         "PackedResNet)")
 safe_flags.DEFINE_integer('wrn_depth', 22, 'WRN depth (6n+4)')
 safe_flags.DEFINE_integer('wrn_width', 2, 'WRN width multiplier k')
+safe_flags.DEFINE_integer('rn_depth', 50, 'bottleneck ResNet depth '
+                          '(50|101|152|200)')
+safe_flags.DEFINE_float('rn_width_mult', 1.0, 'bottleneck width '
+                        'multiplier (reference width flag)')
 safe_flags.DEFINE_integer('stem_width', 32, 'dense 3x3 stem channels')
 safe_flags.DEFINE_string('conv_stages', '64:2,128:2,128:1',
                          'comma-separated features:stride per packed '
@@ -84,7 +91,19 @@ def main(argv):
       seed=FLAGS.seed,
       n_data=FLAGS.conv_n_data,
       n_model=FLAGS.conv_n_model)
-  if FLAGS.arch == 'wrn':
+  if FLAGS.arch == 'rn50':
+    from rigl_tpu.models.packed_convnet import (DenseResNetTwin,
+                                                PackedResNet)
+    if cfg.n_model > 1:
+      raise ValueError('--arch=rn50 does not support tensor parallelism '
+                       'yet')
+    rn = dict(depth=FLAGS.rn_depth, width_mult=FLAGS.rn_width_mult,
+              num_classes=info['num_classes'])
+    model = PackedResNet(sparsity=sparsity, block=cfg.block,
+                         bm=FLAGS.packed_bm, **rn)
+    twin = DenseResNetTwin(block=cfg.block, **rn)
+    model_sharded = None
+  elif FLAGS.arch == 'wrn':
     from rigl_tpu.models.packed_convnet import (DenseWideResNetTwin,
                                                 PackedWideResNet)
     if cfg.n_model > 1:
