@@ -43,17 +43,31 @@ BLOCK = tuple(int(b) for b in os.environ.get('DEC_BLOCK', '512,512'
                                              ).split(','))
 
 
+CHAIN = int(os.environ.get('DEC_CHAIN', 8))
+
+
 def bench(label, fn, variables, prompt):
+  """Times CHAIN data-dependent generations (each feeds its output tokens
+  back as the next prompt, so the chain serializes on-device) with ONE
+  final readback.  A single timed invocation would pay the remote-tunnel
+  program round trip (~23 ms on this box, measured round 4 — an empty
+  128-step scan and an unrolled equivalent both cost ~23 ms wall with a
+  per-call sync) IN FULL in both arms, compressing the ratio; chaining
+  amortizes it to RT/CHAIN.  Requires STEPS == PROMPT so shapes line up."""
+  assert STEPS == PROMPT, 'chained decode bench needs DEC_STEPS == DEC_PROMPT'
   out = fn(variables, prompt, jax.random.key(0))
-  jax.block_until_ready(out)
+  out = fn(variables, out, jax.random.key(1))
   _ = int(np.asarray(out)[0, -1])
   t = time.perf_counter()
-  out = fn(variables, prompt, jax.random.key(0))
+  out = prompt
+  for i in range(CHAIN):
+    out = fn(variables, out, jax.random.key(i))
   _ = int(np.asarray(out)[0, -1])
-  dt = time.perf_counter() - t
+  dt = (time.perf_counter() - t) / CHAIN
   per_tok = dt / STEPS
   print(f'{label}: {per_tok * 1e6:.1f} us/token '
-        f'({BATCH * STEPS / dt:.0f} tok/s at batch {BATCH})', flush=True)
+        f'({BATCH * STEPS / dt:.0f} tok/s at batch {BATCH}, '
+        f'chain {CHAIN})', flush=True)
   return per_tok
 
 
