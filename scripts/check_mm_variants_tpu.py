@@ -25,6 +25,12 @@ SHAPES = [  # (m, K, N, block)
     (2048, 2048, 8192, (512, 512)),   # fc1
     (2048, 8192, 2048, (512, 512)),   # fc2 (wide-K: the slice win)
     (1024, 4096, 4096, (512, 512)),   # MLP bench shape (panel regime)
+    # The LM-accuracy config's layers (d_model 512, 128 blocks, m=b*s=1024)
+    # — the shapes the 10k-step accuracy sweeps train through.
+    (1024, 512, 1536, (128, 128)),    # QKV
+    (1024, 512, 2048, (128, 128)),    # fc1
+    (1024, 2048, 512, (128, 128)),    # fc2
+    (8, 2048, 2048, (512, 512)),      # decode step row count (act regime)
 ]
 
 
