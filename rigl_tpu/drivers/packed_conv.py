@@ -54,6 +54,8 @@ safe_flags.DEFINE_integer('packed_bm', 128, 'row-panel size of the packed '
 safe_flags.DEFINE_integer('conv_n_data', 1, 'data-parallel mesh shards')
 safe_flags.DEFINE_integer('conv_n_model', 1, 'tensor-parallel column '
                           'groups (packed kernels shard over model axis)')
+safe_flags.DEFINE_float('snfs_momentum', 0.9, 'EMA decay for '
+                        '--training_method=momentum (SNFS) grow scores')
 
 
 def main(argv):
@@ -63,10 +65,15 @@ def main(argv):
   from rigl_tpu.train.packed_classifier import (PackedClassifierConfig,
                                                 PackedClassifierTrainer)
 
-  if FLAGS.training_method not in ('rigl', 'static'):
-    raise ValueError('packed conv driver supports rigl (drop/grow) or '
-                     'static (frozen topology), got '
+  if FLAGS.training_method not in ('rigl', 'static', 'set', 'momentum'):
+    raise ValueError('packed conv driver supports rigl / set / momentum '
+                     '(SNFS) drop/grow or static (frozen topology), got '
                      f'{FLAGS.training_method!r}')
+  # Same mapping as drivers/packed_lm.py: 'momentum' is the reference's
+  # name for SNFS (sparse_optimizers.py:126); static freezes topology via
+  # end_step=0 and rides the rigl code path.
+  algo = {'rigl': 'rigl', 'static': 'rigl', 'set': 'set',
+          'momentum': 'snfs'}[FLAGS.training_method]
 
   train_ds, eval_ds, info = datasets_lib.create_dataset(
       FLAGS.dataset, FLAGS.batch_size, data_dir=FLAGS.data_dir,
@@ -75,9 +82,10 @@ def main(argv):
       (int(f), int(s)) for f, s in
       (part.split(':') for part in FLAGS.conv_stages.split(',')))
   static = FLAGS.training_method == 'static'
-  sparsity = FLAGS.end_sparsity
   cfg = PackedClassifierConfig(
-      sparsity=sparsity,
+      sparsity=FLAGS.end_sparsity,
+      algo=algo,
+      snfs_momentum=FLAGS.snfs_momentum,
       block=tuple(int(b) for b in FLAGS.packed_block.split(',')),
       learning_rate=FLAGS.learning_rate,
       train_steps=int(FLAGS.train_steps * FLAGS.training_steps_multiplier),
@@ -91,12 +99,22 @@ def main(argv):
       seed=FLAGS.seed,
       n_data=FLAGS.conv_n_data,
       n_model=FLAGS.conv_n_model)
+  # --mask_init_method (common flag, default erdos_renyi_kernel like the
+  # reference's imagenet trainer) reaches packed storage: per-layer ERK
+  # static n_active via sparsity/layer_sparsity.spec_for_model over the
+  # arch family's dense conv shapes.
+  from rigl_tpu.sparsity.layer_sparsity import spec_for_model
   if FLAGS.arch == 'rn50':
     from rigl_tpu.models.packed_convnet import (DenseResNetTwin,
-                                                PackedResNet)
+                                                PackedResNet,
+                                                resnet_layer_shapes)
     if cfg.n_model > 1:
       raise ValueError('--arch=rn50 does not support tensor parallelism '
                        'yet')
+    sparsity = spec_for_model(
+        resnet_layer_shapes(FLAGS.rn_depth, FLAGS.rn_width_mult, cfg.block),
+        FLAGS.mask_init_method, FLAGS.end_sparsity,
+        erk_power_scale=FLAGS.erk_power_scale)
     rn = dict(depth=FLAGS.rn_depth, width_mult=FLAGS.rn_width_mult,
               num_classes=info['num_classes'])
     model = PackedResNet(sparsity=sparsity, block=cfg.block,
@@ -105,15 +123,25 @@ def main(argv):
     model_sharded = None
   elif FLAGS.arch == 'wrn':
     from rigl_tpu.models.packed_convnet import (DenseWideResNetTwin,
-                                                PackedWideResNet)
+                                                PackedWideResNet,
+                                                wrn_layer_shapes)
     if cfg.n_model > 1:
       raise ValueError('--arch=wrn does not support tensor parallelism yet')
+    sparsity = spec_for_model(
+        wrn_layer_shapes(FLAGS.wrn_depth, FLAGS.wrn_width),
+        FLAGS.mask_init_method, FLAGS.end_sparsity,
+        erk_power_scale=FLAGS.erk_power_scale)
     wrn = dict(depth=FLAGS.wrn_depth, width=FLAGS.wrn_width,
                num_classes=info['num_classes'])
     model = PackedWideResNet(sparsity=sparsity, block=cfg.block, **wrn)
     twin = DenseWideResNetTwin(**wrn)
     model_sharded = None
   else:
+    from rigl_tpu.models.packed_convnet import convnet_layer_shapes
+    sparsity = spec_for_model(
+        convnet_layer_shapes(FLAGS.stem_width, stages),
+        FLAGS.mask_init_method, FLAGS.end_sparsity,
+        erk_power_scale=FLAGS.erk_power_scale)
     net = dict(num_classes=info['num_classes'],
                stem_width=FLAGS.stem_width, stages=stages)
     packed = dict(sparsity=sparsity, block=cfg.block, bm=FLAGS.packed_bm,
@@ -132,6 +160,8 @@ def main(argv):
       progress_fn=lambda m: print(m), log_every=FLAGS.log_every)
   result['data_source'] = info.get('source', 'synthetic')
   result['dataset'] = FLAGS.dataset
+  result['sparsity_distribution'] = FLAGS.mask_init_method
+  result['algo'] = algo
 
   if FLAGS.output_dir:
     os.makedirs(FLAGS.output_dir, exist_ok=True)

@@ -132,6 +132,11 @@ def main(argv):
       num_heads=FLAGS.num_heads,
       seq_len=FLAGS.seq_len,
       sparsity=FLAGS.end_sparsity,
+      # --mask_init_method (common flag, default erdos_renyi_kernel like
+      # the reference's imagenet trainer) now reaches packed storage:
+      # per-layer ERK n_active via sparsity/layer_sparsity.py.
+      sparsity_distribution=FLAGS.mask_init_method,
+      erk_power_scale=FLAGS.erk_power_scale,
       block=tuple(int(b) for b in FLAGS.packed_block.split(',')),
       bm=FLAGS.packed_bm,
       dtype=FLAGS.lm_dtype,
@@ -169,6 +174,7 @@ def main(argv):
                          log_every=FLAGS.log_every)
   result['data_source'] = source
   result['vocab_size'] = vocab
+  result['sparsity_distribution'] = FLAGS.mask_init_method
 
   if FLAGS.output_dir:
     trainer.save(FLAGS.output_dir)

@@ -44,8 +44,13 @@ def main(argv):
   from rigl_tpu.train.packed_loop import PackedMLPConfig, PackedMLPTrainer
 
   if FLAGS.training_method not in ('rigl', 'static'):
-    raise ValueError('packed driver supports rigl (drop/grow) or static '
-                     f'(frozen topology), got {FLAGS.training_method!r}')
+    # PackedMLPTrainer (train/packed_loop.py) implements the RigL update
+    # only; for SET/SNFS on packed storage use drivers/packed_conv.py or
+    # drivers/packed_lm.py (PackedClassifier/PackedLM trainers).
+    raise ValueError('packed MLP driver supports rigl (drop/grow) or '
+                     'static (frozen topology); for set/momentum on '
+                     'packed storage use the packed_conv or packed_lm '
+                     f'driver.  Got {FLAGS.training_method!r}')
 
   train_ds, eval_ds, info = datasets_lib.create_dataset(
       'mnist', FLAGS.batch_size, data_dir=FLAGS.data_dir, seed=FLAGS.seed)

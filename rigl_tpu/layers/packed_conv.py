@@ -50,6 +50,7 @@ from rigl_tpu.layers.packed_dense import (packed_kernel_matmul,
 from rigl_tpu.ops.pallas.block_sparse_packed import (make_packing,
                                                      unpack_dense)
 from rigl_tpu.sparsity.distributions import get_n_zeros
+from rigl_tpu.sparsity.layer_sparsity import resolve_sparsity
 
 
 class PackedConv1x1(nn.Module):
@@ -57,9 +58,12 @@ class PackedConv1x1(nn.Module):
 
   Strides/padding are trivial for 1x1 SAME convs; `strides` subsamples the
   spatial grid before the matmul (equivalent to conv with that stride).
+
+  `sparsity`: float (uniform) or SparsityMap (per-layer, resolved by
+  this module's path — sparsity/layer_sparsity.py).
   """
   features: int
-  sparsity: float = 0.8
+  sparsity: Any = 0.8
   block: Tuple[int, int] = (128, 128)
   bm: int = 512
   strides: Tuple[int, int] = (1, 1)
@@ -113,7 +117,7 @@ class PackedConv(nn.Module):
   """
   features: int
   kernel_size: Tuple[int, int] = (3, 3)
-  sparsity: float = 0.8
+  sparsity: Any = 0.8              # float or SparsityMap (layer_sparsity)
   block: Tuple[int, int] = (16, 16)
   bm: int = 2048                 # tap engine row tile; unused by 'xla'
   strides: Tuple[int, int] = (1, 1)
@@ -129,10 +133,11 @@ class PackedConv(nn.Module):
     if cin % bk or self.features % bn:
       raise ValueError(f'channels ({cin},{self.features}) must divide '
                        f'block {self.block}')
+    sparsity = resolve_sparsity(self.sparsity, self.path)
     k2d = kh * kw * cin
     nk, nn_ = k2d // bk, self.features // bn
     n_total = nk * nn_
-    n_active = n_total - get_n_zeros(n_total, self.sparsity)
+    n_active = n_total - get_n_zeros(n_total, sparsity)
 
     packing = self.variable(
         'packing', 'kernel',

@@ -27,6 +27,7 @@ import numpy as np
 from rigl_tpu.ops.pallas.block_sparse_packed import (make_packing,
                                                      packed_matmul)
 from rigl_tpu.sparsity.distributions import get_n_zeros
+from rigl_tpu.sparsity.layer_sparsity import resolve_sparsity
 
 
 def random_occupancy(key: jax.Array, nk: int, nn_: int,
@@ -52,12 +53,17 @@ def _pad_rows(x2d, bm: int):
 
 
 def packed_kernel_matmul(mod: nn.Module, x2d, features: int, *,
-                         sparsity: float, block: Tuple[int, int], bm: int,
+                         sparsity, block: Tuple[int, int], bm: int,
                          dtype, tp_shards: int = 1,
                          tp_axis: Optional[str] = None):
   """Declares a packed 'kernel' param + 'packing' variable on `mod`
   (an nn.Module in compact scope) and returns x2d @ W, rows padded to the
   row-panel size internally and cropped back.
+
+  `sparsity` is a float (uniform) or a SparsityMap / {path: float} dict
+  resolved by this layer's module path — the per-layer (ERK/custom)
+  plumbing the reference wires at imagenet_train_eval.py:308-316; see
+  sparsity/layer_sparsity.py.
 
   The single shared engine behind PackedDense and PackedConv1x1.  Active
   positions get the per-element scale a dense lecun-normal kernel would
@@ -76,6 +82,7 @@ def packed_kernel_matmul(mod: nn.Module, x2d, features: int, *,
   psum'd via replicate_for_tp (identity fwd).  Set `tp_axis` ONLY on the
   model instance applied inside shard_map.
   """
+  sparsity = resolve_sparsity(sparsity, mod.path)
   in_features = x2d.shape[-1]
   bk, bn = block
   if in_features % bk or features % bn:
@@ -159,9 +166,12 @@ class PackedDense(nn.Module):
 
   Tensor parallelism: see packed_kernel_matmul (tp_shards stacked
   column-group storage; tp_axis only on the instance inside shard_map).
+
+  `sparsity`: float (uniform) or SparsityMap (per-layer, resolved by
+  this module's path — sparsity/layer_sparsity.py).
   """
   features: int
-  sparsity: float = 0.8
+  sparsity: Any = 0.8
   block: Tuple[int, int] = (512, 512)
   bm: int = 512
   use_bias: bool = True

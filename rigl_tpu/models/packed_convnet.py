@@ -85,13 +85,71 @@ def _backbone(x, stem_width, stages, make_pointwise, num_classes, dtype):
   return nn.Dense(num_classes, dtype=dtype, name='head')(x)
 
 
+def convnet_layer_shapes(stem_width: int,
+                         stages: Sequence[Tuple[int, int]]):
+  """{path: (1, 1, cin, cout)} for every packed pointwise conv of a
+  PackedConvNet — the ERK-solver input (4D conv shapes, matching the
+  reference's conv ERK treatment, sparse_utils.py:163-169)."""
+  shapes = {}
+  cin = stem_width
+  for i, (features, _) in enumerate(stages):
+    shapes[f'stage{i}/pw/kernel'] = (1, 1, cin, features)
+    cin = features
+  return shapes
+
+
+def wrn_layer_shapes(depth: int, width: int):
+  """{path: (3, 3, cin, cout)} for every packed 3x3 conv of a
+  PackedWideResNet."""
+  if (depth - 4) % 6:
+    raise ValueError(f'WRN depth must be 6n+4, got {depth}')
+  n = (depth - 4) // 6
+  shapes = {}
+  cin = 16
+  for g, feats in enumerate((16 * width, 32 * width, 64 * width)):
+    for b in range(n):
+      shapes[f'g{g}_b{b}/conv1/kernel'] = (3, 3, cin, feats)
+      shapes[f'g{g}_b{b}/conv2/kernel'] = (3, 3, feats, feats)
+      cin = feats
+  return shapes
+
+
+def resnet_layer_shapes(depth: int, width_mult: float = 1.0,
+                        block: Tuple[int, int] = (16, 16)):
+  """{path: 4D conv shape} for every PACKED conv of a PackedResNet —
+  mirrors the model's block-eligibility rule exactly (a conv is packed
+  iff its channel dims divide the block), so the ERK solve runs over
+  precisely the layers that will exist as packed storage.  This is the
+  reference's flagship recipe surface: per-layer ERK over the RN50 convs
+  (sparse_utils.py:258-316 feeding imagenet_train_eval.py:308-316)."""
+  bk, bn = block
+  shapes = {}
+  cin = 64
+  for g, (blocks, width) in enumerate(
+      zip(RESNET_BOTTLENECK_DEPTHS[depth], (64, 128, 256, 512))):
+    feats = int(width * width_mult)
+    cout = 4 * feats
+    for b in range(blocks):
+      if cin % bk == 0 and feats % bn == 0:
+        shapes[f'g{g}_b{b}/reduce/kernel'] = (1, 1, cin, feats)
+      if feats % bk == 0 and feats % bn == 0:
+        shapes[f'g{g}_b{b}/conv3x3/kernel'] = (3, 3, feats, feats)
+      if feats % bk == 0 and cout % bn == 0:
+        shapes[f'g{g}_b{b}/expand/kernel'] = (1, 1, feats, cout)
+      cin = cout
+  return shapes
+
+
 class PackedConvNet(nn.Module):
   """Depthwise-separable conv classifier whose pointwise convs are packed
-  block-sparse.  `stages`: (features, stride) per block."""
+  block-sparse.  `stages`: (features, stride) per block.
+
+  `sparsity`: float (uniform) or SparsityMap over convnet_layer_shapes
+  paths (per-layer ERK/custom on packed storage)."""
   num_classes: int = 10
   stem_width: int = 32
   stages: Sequence[Tuple[int, int]] = ((64, 2), (128, 2), (128, 1))
-  sparsity: float = 0.8
+  sparsity: Any = 0.8
   block: Tuple[int, int] = (16, 16)
   bm: int = 128
   dtype: Any = jnp.float32
@@ -193,7 +251,7 @@ class PackedWideResNet(nn.Module):
   depth: int = 22
   width: int = 2
   num_classes: int = 10
-  sparsity: float = 0.8
+  sparsity: Any = 0.8            # float or SparsityMap (wrn_layer_shapes)
   block: Tuple[int, int] = (16, 16)
   dtype: Any = jnp.float32
   engine: str = 'xla'
@@ -446,7 +504,7 @@ class PackedResNet(nn.Module):
   depth: int = 50
   num_classes: int = 1000
   width_mult: float = 1.0
-  sparsity: float = 0.8
+  sparsity: Any = 0.8          # float or SparsityMap (resnet_layer_shapes)
   block: Tuple[int, int] = (16, 16)
   bm: int = 128
   dtype: Any = jnp.float32

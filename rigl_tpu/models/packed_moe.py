@@ -32,6 +32,22 @@ from rigl_tpu.ops.pallas.block_sparse_packed import (make_packing,
                                                      packed_matmul)
 from rigl_tpu.parallel import packed_ep as ep
 from rigl_tpu.sparsity.distributions import get_n_zeros
+from rigl_tpu.sparsity.layer_sparsity import resolve_sparsity
+
+
+def moe_layer_shapes(d_model: int, d_ff: int, num_experts: int):
+  """Dense kernel shapes of one MoE block's packed matmuls (canonical
+  blockless keys — see transformer_layer_shapes for why one block is
+  exact for the whole stack).  Expert stacks enter the ERK solve as the
+  rank-3 (E, K, N) tensors they are; the reference's ERK probability for
+  any-rank kernels is sum(shape)/prod(shape) (sparse_utils.py:163-169),
+  so experts scale like any higher-rank kernel would."""
+  return {
+      'attn/qkv/kernel': (d_model, 3 * d_model),
+      'attn/out/kernel': (d_model, d_model),
+      'moe/fc1/kernel': (num_experts, d_model, d_ff),
+      'moe/fc2/kernel': (num_experts, d_ff, d_model),
+  }
 
 
 class _PackedExperts(nn.Module):
@@ -40,10 +56,13 @@ class _PackedExperts(nn.Module):
   __call__ maps (E_local, C, d_in) -> (E_local, C, features), running one
   packed matmul per LOCAL expert (E_local is inferred from the input, so
   the same module works globally and inside an expert-sharded shard_map,
-  where params/packings arrive with the local leading axis)."""
+  where params/packings arrive with the local leading axis).
+
+  `sparsity`: float or SparsityMap (per-layer, resolved by this module's
+  path — all experts of one layer share the layer's sparsity)."""
   features: int
   num_experts: int               # experts to DECLARE (local count)
-  sparsity: float = 0.8
+  sparsity: Any = 0.8
   block: Tuple[int, int] = (16, 16)
   bm: int = 128
   dtype: Any = jnp.float32
@@ -57,7 +76,8 @@ class _PackedExperts(nn.Module):
                        f'block {self.block}')
     nk, nn_ = d_in // bk, self.features // bn
     n_total = nk * nn_
-    n_active = n_total - get_n_zeros(n_total, self.sparsity)
+    n_active = n_total - get_n_zeros(
+        n_total, resolve_sparsity(self.sparsity, self.path))
     E = self.num_experts
 
     def init_packing():
@@ -215,7 +235,7 @@ class PackedMoETransformer(nn.Module):
   vocab_size: int = 0
   num_experts: int = 8
   capacity_factor: float = 2.0
-  sparsity: float = 0.8
+  sparsity: Any = 0.8            # float or SparsityMap (moe_layer_shapes)
   block: Tuple[int, int] = (16, 16)
   bm: int = 128
   dtype: Any = jnp.float32

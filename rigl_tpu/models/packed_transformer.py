@@ -30,6 +30,25 @@ import numpy as np
 from rigl_tpu.layers.packed_dense import PackedDense
 
 
+def transformer_layer_shapes(d_model: int, d_ff: int):
+  """Dense kernel shapes of one block's packed matmuls, keyed by the
+  CANONICAL (blockless) layer paths that sparsity/layer_sparsity.py's
+  suffix lookup resolves from any apply context.
+
+  Feeding one block to the ERK solver is exact for the whole stack:
+  every layer type appears once per block, so the epsilon solve's
+  rhs/divisor both scale by depth L and eps is unchanged (the reference
+  solves over the full layer list, sparse_utils.py:118-207 — same
+  result for uniform-depth stacks).
+  """
+  return {
+      'attn/qkv/kernel': (d_model, 3 * d_model),
+      'attn/out/kernel': (d_model, d_model),
+      'fc1/kernel': (d_model, d_ff),
+      'fc2/kernel': (d_ff, d_model),
+  }
+
+
 def _flash_attention(q, k, v, sm_scale):
   """Fused causal attention via the TPU pallas flash kernel (jax's
   shipped op — tiled online-softmax, no (s, s) logits materialization).
@@ -179,13 +198,17 @@ class PackedTransformer(nn.Module):
 
   vocab_size == 0 means "pre-embedded inputs" (bench mode): __call__ takes
   (B, S, d_model) floats and returns (B, S, d_model).
+
+  `sparsity`: float (uniform) or SparsityMap over the canonical layer
+  paths (transformer_layer_shapes) — per-layer ERK/custom sparsity on
+  packed storage.
   """
   num_layers: int = 2
   d_model: int = 512
   d_ff: int = 2048
   num_heads: int = 8
   vocab_size: int = 0
-  sparsity: float = 0.8
+  sparsity: Any = 0.8
   block: Tuple[int, int] = (128, 128)
   bm: int = 512
   dtype: Any = jnp.float32

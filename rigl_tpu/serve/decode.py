@@ -58,10 +58,14 @@ def _sample(logits, key, temperature: float, top_k: int = 0,
     logits = jnp.where(logits >= kth, logits, neg)
   if top_p < 1.0:
     # Nucleus: keep the smallest prefix of the sorted distribution whose
-    # mass reaches top_p (the crossing token included).
+    # mass reaches top_p (the crossing token included).  The top token is
+    # ALWAYS kept (keep[..., 0] forced True): with top_p <= 0 the cumsum
+    # predicate would otherwise hold nowhere, min_kept would be +inf, and
+    # every logit would mask to -inf — degenerate uniform sampling.
     sorted_logits = jnp.flip(jnp.sort(logits, axis=-1), axis=-1)
     probs = jax.nn.softmax(sorted_logits, axis=-1)
     keep = jnp.cumsum(probs, axis=-1) - probs < top_p
+    keep = keep.at[..., 0].set(True)
     min_kept = jnp.min(jnp.where(keep, sorted_logits, jnp.inf), axis=-1,
                        keepdims=True)
     logits = jnp.where(logits >= min_kept, logits, neg)

@@ -9,6 +9,13 @@ from rigl_tpu.sparsity.distributions import (
     sparsities_uniform,
     total_density,
 )
+from rigl_tpu.sparsity.layer_sparsity import (
+    SparsityMap,
+    achieved_block_sparsity,
+    make_sparsity_map,
+    resolve_sparsity,
+    spec_for_model,
+)
 from rigl_tpu.sparsity.masks import (
     apply_masks,
     calculate_sparsity,

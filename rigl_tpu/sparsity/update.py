@@ -87,8 +87,14 @@ def drop_grow_update(
   # Keep-mask over drop scores.
   mask1 = topk_mask_from_scores(score_drop, n_keep)
 
-  # Lift kept positions out of the grow competition.
-  grow_flat = score_grow.reshape(-1).astype(jnp.float32)
+  # Lift kept positions out of the grow competition.  nan_to_num is the
+  # identity for finite scores (bit-exact goldens unaffected); with NaN
+  # grow scores (a diverged run) the lift's min-1 would otherwise be NaN,
+  # NaNs sort to the top of top_k, kept positions re-win grow, and the
+  # mask count silently drifts — fatal for packed storage, whose static
+  # n_active is a shape.  Sanitizing keeps the count invariant; the run
+  # is still diverged, but the state stays structurally valid.
+  grow_flat = jnp.nan_to_num(score_grow.reshape(-1).astype(jnp.float32))
   lifted = jnp.where(mask1 == 1.0, jnp.min(grow_flat) - 1.0, grow_flat)
   mask2 = topk_mask_from_scores(lifted, n_prune)
   # mask1 and mask2 are disjoint by construction: mask2's candidates score

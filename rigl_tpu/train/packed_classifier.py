@@ -217,12 +217,15 @@ class PackedClassifierTrainer:
     if cfg.algo == 'snfs':
       @jax.jit
       def snfs_fn(params, packings, opt_state, ema_grids, x, y, df):
-        inst = pt.flax_rigl_grow_grids(
+        # Signed pooled grads -> EMA -> |EMA| grow score (the reference's
+        # abs-AFTER-EMA ranking; see flax_snfs_inst_grids).
+        inst = pt.flax_snfs_inst_grids(
             self._dense_twin_grads(params, packings, x, y), packings,
             cfg.block)
         ema = pt.snfs_update_ema_grids(ema_grids, inst, cfg.snfs_momentum)
-        out = pt.flax_packed_drop_grow(params, packings, opt_state,
-                                       self.tx, ema, df)
+        out = pt.flax_packed_drop_grow(
+            params, packings, opt_state, self.tx,
+            {p: jnp.abs(v) for p, v in ema.items()}, df)
         return out.params, out.packings, out.opt_state, out.occupancy, ema
 
       return snfs_fn

@@ -50,6 +50,13 @@ class PackedLMConfig:
   num_heads: int = 8
   seq_len: int = 128
   sparsity: float = 0.8
+  # Per-layer sparsity distribution over the packed matmuls: 'uniform'
+  # (every layer at `sparsity` — the historic float path, bit-identical),
+  # 'erdos_renyi', or 'erdos_renyi_kernel' (the reference's flagship
+  # recipe, sparse_utils.py:258-316 via sparsity/layer_sparsity.py —
+  # per-layer static n_active, everything else unchanged).
+  sparsity_distribution: str = 'uniform'
+  erk_power_scale: float = 1.0
   block: Tuple[int, int] = (16, 16)
   bm: int = 128
   dtype: str = 'float32'                 # 'bfloat16' on TPU
@@ -152,6 +159,18 @@ class PackedLMTrainer:
     if cfg.algo not in ('rigl', 'set', 'snfs'):
       raise ValueError(f'algo must be rigl/set/snfs, got {cfg.algo!r}')
     self.cfg = cfg
+    # Per-layer sparsity spec (float for uniform; SparsityMap for ERK) —
+    # one spec feeds every model instance (global, sharded, pp blocks,
+    # decode twin) via suffix-matched canonical paths.
+    from rigl_tpu.models.packed_moe import moe_layer_shapes
+    from rigl_tpu.models.packed_transformer import transformer_layer_shapes
+    from rigl_tpu.sparsity.layer_sparsity import spec_for_model
+    shapes = (moe_layer_shapes(cfg.d_model, cfg.d_ff, cfg.n_experts)
+              if cfg.n_experts > 0
+              else transformer_layer_shapes(cfg.d_model, cfg.d_ff))
+    self.sparsity_spec = spec_for_model(
+        shapes, cfg.sparsity_distribution, cfg.sparsity,
+        erk_power_scale=cfg.erk_power_scale)
     if cfg.n_experts > 0:
       if cfg.n_model > 1 or cfg.n_pipe > 1 or cfg.n_seq > 1:
         raise ValueError('n_experts>0 composes with n_data/n_expert only')
@@ -161,12 +180,12 @@ class PackedLMTrainer:
       moe_kwargs = dict(num_experts=cfg.n_experts,
                         capacity_factor=cfg.capacity_factor,
                         **cfg.model_kwargs())
-      self.model = PackedMoETransformer(sparsity=cfg.sparsity,
+      self.model = PackedMoETransformer(sparsity=self.sparsity_spec,
                                         block=cfg.block, bm=cfg.bm,
                                         **moe_kwargs)
       self.dense_twin = DenseMoETransformer(**moe_kwargs)
     else:
-      self.model = PackedTransformer(sparsity=cfg.sparsity, block=cfg.block,
+      self.model = PackedTransformer(sparsity=self.sparsity_spec, block=cfg.block,
                                      bm=cfg.bm, tp_shards=cfg.n_model,
                                      **cfg.model_kwargs())
       self.dense_twin = DenseTransformer(**cfg.model_kwargs())
@@ -190,7 +209,7 @@ class PackedLMTrainer:
       # token-sharding axes so the sharded aux equals the single-device
       # aux bit-for-bit (it is nonlinear in the token distribution).
       self.model_sharded = PackedMoETransformer(
-          sparsity=cfg.sparsity, block=cfg.block, bm=cfg.bm,
+          sparsity=self.sparsity_spec, block=cfg.block, bm=cfg.bm,
           ep_axis='expert', token_axes=('data', 'expert'),
           num_experts=cfg.n_experts,
           capacity_factor=cfg.capacity_factor, **cfg.model_kwargs())
@@ -232,7 +251,7 @@ class PackedLMTrainer:
       # trees, but each device computes its own column group + all_gather
       # (and, with n_seq>1, its own token shard + k/v gather).
       self.model_sharded = PackedTransformer(
-          sparsity=cfg.sparsity, block=cfg.block, bm=cfg.bm,
+          sparsity=self.sparsity_spec, block=cfg.block, bm=cfg.bm,
           tp_shards=cfg.n_model,
           tp_axis='model' if cfg.n_model > 1 else None,
           seq_axis='seq' if cfg.n_seq > 1 else None,
@@ -335,7 +354,7 @@ class PackedLMTrainer:
     tp_axis = 'model' if cfg.n_model > 1 else None
 
     def proj(features, name):
-      return PackedDense(features, sparsity=cfg.sparsity, block=cfg.block,
+      return PackedDense(features, sparsity=self.sparsity_spec, block=cfg.block,
                          bm=cfg.bm, use_bias=False, dtype=dtype,
                          tp_shards=cfg.n_model, tp_axis=tp_axis, name=name)
 
@@ -555,12 +574,16 @@ class PackedLMTrainer:
     if cfg.algo == 'snfs':
       @jax.jit
       def snfs_fn(params, packings, opt_state, ema_grids, x, y, df):
-        inst = pt.flax_rigl_grow_grids(
+        # Signed pooled grads -> EMA -> |EMA| grow score (the reference's
+        # abs-AFTER-EMA ranking, sparse_optimizers.py:126-214; see
+        # flax_snfs_inst_grids for the two packed-storage deviations).
+        inst = pt.flax_snfs_inst_grids(
             self._dense_twin_grads(params, packings, x, y), packings,
             cfg.block)
         ema = pt.snfs_update_ema_grids(ema_grids, inst, cfg.snfs_momentum)
-        out = pt.flax_packed_drop_grow(params, packings, opt_state,
-                                       self.tx, ema, df)
+        out = pt.flax_packed_drop_grow(
+            params, packings, opt_state, self.tx,
+            {p: jnp.abs(v) for p, v in ema.items()}, df)
         return out.params, out.packings, out.opt_state, out.occupancy, ema
 
       return snfs_fn

@@ -163,27 +163,48 @@ def packed_rigl_update(params, packings, opt_state, tx, grow_grids,
   return PackedRigLResult(new_params, new_packings, new_opt, occ)
 
 
-def flax_rigl_grow_grids(dense_grads, packings, block: Tuple[int, int]):
-  """RigL grow grids over nested flax trees: block-pooled |dense grad|
-  per packed kernel ((E, nk, nn) stacks for expert-stacked kernels, the
-  global (nk, nn) grid for TP-stacked ones) — the reference's grow score
-  (sparse_optimizers_base.py:328-334) at block granularity."""
+def _pooled_grids(dense_grads, packings, block: Tuple[int, int],
+                  absolute: bool):
+  """Block-pooled grids of the dense grads per packed kernel ((E, nk, nn)
+  stacks for expert-stacked kernels, the global (nk, nn) grid for
+  TP-stacked ones).  absolute=True pools |grad| (RigL); False pools the
+  SIGNED grads (SNFS's EMA input — sign information survives pooling so
+  cross-update oscillation cancels, like the reference's signed EMA)."""
   import flax.traverse_util as tv
   from rigl_tpu.ops.block_mask import pool_to_blocks
   from rigl_tpu.parallel import packed_ep as ep
+
+  def pool(g2d):
+    g2d = g2d.astype(jnp.float32)
+    return pool_to_blocks(jnp.abs(g2d) if absolute else g2d, block, 'sum')
 
   flat_pk = dict(tv.flatten_dict(packings))
   grids = {}
   for path, pk in flat_pk.items():
     g = dense_grads[path]
     if ep.is_expert_stacked(pk):
-      grids[path] = jnp.stack([
-          pool_to_blocks(jnp.abs(g[e].astype(jnp.float32)), block, 'sum')
-          for e in range(g.shape[0])])
+      grids[path] = jnp.stack([pool(g[e]) for e in range(g.shape[0])])
     else:
-      grids[path] = pool_to_blocks(jnp.abs(g.astype(jnp.float32)),
-                                   block, 'sum')
+      grids[path] = pool(g)
   return grids
+
+
+def flax_rigl_grow_grids(dense_grads, packings, block: Tuple[int, int]):
+  """RigL grow grids over nested flax trees: block-pooled |dense grad| —
+  the reference's grow score (sparse_optimizers_base.py:328-334) at block
+  granularity."""
+  return _pooled_grids(dense_grads, packings, block, absolute=True)
+
+
+def flax_snfs_inst_grids(dense_grads, packings, block: Tuple[int, int]):
+  """SNFS EMA input: block-pooled SIGNED dense grads.  The reference EMAs
+  the signed elementwise grads and scores grow by |EMA|
+  (sparse_optimizers.py:126-214: momentum decay applied to the raw grads
+  pre-apply, generic_mask_update ranks abs(grow_tensor)), so
+  sign-oscillating gradients rank near zero.  The packed variant keeps
+  that ordering property at block granularity: pool SIGNED grads, EMA the
+  pooled values (snfs_update_ema_grids), abs at drop/grow time."""
+  return _pooled_grids(dense_grads, packings, block, absolute=False)
 
 
 def grow_grid_shapes(packings):
@@ -230,13 +251,15 @@ def init_snfs_ema_grids(packings):
 def snfs_update_ema_grids(ema_grids, inst_grids, momentum: float):
   """SNFS EMA advance: ema <- momentum * ema + (1 - momentum) * inst.
 
-  The reference's momentum method EMAs elementwise dense grads every
-  gradient step (sparse_optimizers.py:126-214, decay pre-apply); on
-  packed storage inactive elements do not exist between update steps, so
-  the packed variant keeps the EMA at block-grid granularity and
-  advances it at mask-update steps from the dense-twin pooled |grad| —
-  accumulated gradient information across updates (SNFS's core idea)
-  without a dense backward on the hot path."""
+  inst_grids are the SIGNED pooled grads (flax_snfs_inst_grids), so the
+  EMA preserves the reference's |EMA of grad| ranking: sign-oscillating
+  gradients cancel across updates and rank low (sparse_optimizers.py:
+  126-214 — abs applied AFTER the EMA, at scoring time).  Two documented
+  deviations from the reference, both forced by O(density) packed
+  storage: (1) the EMA lives at block-grid granularity (per-element
+  dense EMA state would be O(dense)); (2) it advances at mask-update
+  steps only (per-step advance would need a dense backward on the hot
+  path).  See PARITY.md."""
   return {p: momentum * ema_grids[p] + (1.0 - momentum) * inst_grids[p]
           for p in ema_grids}
 

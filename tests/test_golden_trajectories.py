@@ -35,7 +35,8 @@ from rigl_tpu.sparsity.schedules import UpdateSchedule
 from rigl_tpu.transforms import algorithms
 from rigl_tpu.transforms.sparse_training import SparseState, SparseTraining
 
-pytestmark = pytest.mark.slow  # heavy suite; run with --runslow
+# Default-tier since round 5 (VERDICT r4 item 5): the full 12-trajectory
+# bit-exactness sweep measures ~7 s — cheap enough for every run.
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), 'golden')
 NPZ = os.path.join(GOLDEN_DIR, 'trajectory_traces.npz')

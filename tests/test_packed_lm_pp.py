@@ -12,7 +12,9 @@ import pytest
 from rigl_tpu.parallel import packed_pp as pp
 from rigl_tpu.train.packed_lm import PackedLMConfig, PackedLMTrainer
 
-pytestmark = pytest.mark.slow  # heavy suite; run with --runslow
+# Tier hygiene (VERDICT r4 item 5): the core equivalence test runs
+# in the DEFAULT tier so every parallelism axis is exercised
+# pre-commit; the heavier sweeps stay behind --runslow.
 
 CFG = dict(vocab_size=64, num_layers=2, d_model=32, d_ff=64, num_heads=2,
            seq_len=16, sparsity=0.5, block=(16, 16), bm=32,
@@ -68,6 +70,7 @@ def test_pp_step_matches_single_device():
   _run_equivalence(PackedLMConfig(n_data=2, n_pipe=2, n_micro=2, **CFG))
 
 
+@pytest.mark.slow
 def test_pp_tp_dp_composed_matches_single_device():
   """Full 3D parallelism: 2 data x 2 pipe x 2 model = 8 devices, packed
   kernels both stage-sharded (layer axis over 'pipe') and column-group
@@ -83,6 +86,7 @@ def test_pp_tp_dp_composed_matches_single_device():
   assert np.isfinite(tr.train_step(*tr.sample_batch(tok)))
 
 
+@pytest.mark.slow
 def test_pp_microbatch_count_invariance():
   """n_micro=2 vs n_micro=4 give the same math (CE mean over equal-size
   microbatches == CE mean over the batch)."""
@@ -102,6 +106,7 @@ def test_pp_microbatch_count_invariance():
                              rtol=2e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_pp_trains_and_mask_updates():
   if len(jax.devices()) < 4:
     pytest.skip('needs 4 devices')

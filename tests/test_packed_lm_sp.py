@@ -11,7 +11,9 @@ import pytest
 
 from rigl_tpu.train.packed_lm import PackedLMConfig, PackedLMTrainer
 
-pytestmark = pytest.mark.slow  # heavy suite; run with --runslow
+# Tier hygiene (VERDICT r4 item 5): the core equivalence test runs
+# in the DEFAULT tier so every parallelism axis is exercised
+# pre-commit; the heavier sweeps stay behind --runslow.
 
 CFG = dict(vocab_size=64, num_layers=2, d_model=32, d_ff=64, num_heads=2,
            seq_len=16, sparsity=0.5, block=(16, 16), bm=32,
@@ -57,6 +59,7 @@ def test_sp_step_matches_single_device():
   _run_equivalence(PackedLMConfig(n_data=2, n_seq=2, **CFG))
 
 
+@pytest.mark.slow
 def test_sp_tp_dp_composed_matches_single_device():
   """dp x sp x tp = 2 x 2 x 2 devices: token shards ('seq') composed with
   packed column-group sharding ('model') and batch sharding ('data')."""
@@ -69,6 +72,7 @@ def test_sp_tp_dp_composed_matches_single_device():
   assert np.isfinite(tr.train_step(*tr.sample_batch(tok)))
 
 
+@pytest.mark.slow
 def test_sp_trains_and_mask_updates():
   if len(jax.devices()) < 2:
     pytest.skip('needs 2 devices')

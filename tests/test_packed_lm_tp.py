@@ -15,7 +15,9 @@ from rigl_tpu.parallel import packed_tp as tp
 from rigl_tpu.train.packed_lm import (PackedLMConfig, PackedLMTrainer,
                                       dense_twin_params)
 
-pytestmark = pytest.mark.slow  # heavy suite; run with --runslow
+# Tier hygiene (VERDICT r4 item 5): the core equivalence test runs
+# in the DEFAULT tier so every parallelism axis is exercised
+# pre-commit; the heavier sweeps stay behind --runslow.
 
 CFG = dict(vocab_size=64, num_layers=1, d_model=32, d_ff=64, num_heads=2,
            seq_len=16, sparsity=0.5, block=(16, 16), bm=32,
@@ -28,6 +30,7 @@ def _tokens(n=4000, seed=0):
   return np.random.RandomState(seed).randint(0, 64, size=n).astype(np.int32)
 
 
+@pytest.mark.slow
 def test_tp_packed_dense_matches_dense_view():
   """tp_shards=2 PackedDense (global, no mesh) == x @ unpacked kernel."""
   m = PackedDense(64, sparsity=0.5, block=(16, 16), bm=32, use_bias=False,
@@ -102,6 +105,7 @@ def test_tp_trainer_sharded_step_matches_unsharded():
   assert np.isfinite(loss)
 
 
+@pytest.mark.slow
 def test_tp_trainer_trains_and_twin_matches():
   """Full train() run on the (2,2) mesh: finite losses, and the dense twin
   of the final stacked params reproduces the packed model's logits."""
@@ -125,6 +129,7 @@ def test_tp_trainer_trains_and_twin_matches():
                              rtol=5e-4, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_tp_trainer_save_restore_resumes_identically(tmp_path):
   if len(jax.devices()) < 4:
     pytest.skip('needs 4 devices')

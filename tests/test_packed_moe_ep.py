@@ -21,7 +21,9 @@ import pytest
 from rigl_tpu.parallel import packed_ep as ep
 from rigl_tpu.train.packed_lm import PackedLMConfig, PackedLMTrainer
 
-pytestmark = pytest.mark.slow  # heavy suite; run with --runslow
+# Tier hygiene (VERDICT r4 item 5): the core equivalence test runs
+# in the DEFAULT tier so every parallelism axis is exercised
+# pre-commit; the heavier sweeps stay behind --runslow.
 
 CFG = dict(vocab_size=64, num_layers=1, d_model=32, d_ff=64, num_heads=2,
            seq_len=16, sparsity=0.5, block=(16, 16), bm=32,
@@ -80,6 +82,7 @@ def test_ep_trainer_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason='needs 4 devices')
+@pytest.mark.slow
 def test_ep_capacity_binding_smoke():
   """With a tight capacity (tokens dropped per-device) the sharded step
   still runs and produces finite losses, and drop/grow preserves the
@@ -101,6 +104,7 @@ def test_ep_capacity_binding_smoke():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason='needs 4 devices')
+@pytest.mark.slow
 def test_ep_ckpt_restores_into_sharded_run(tmp_path):
   """Save from an EP run, restore into a fresh EP trainer: losses match."""
   tok = _tokens()
