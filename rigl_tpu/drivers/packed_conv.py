@@ -30,7 +30,11 @@ common.define_common_flags(default_method='rigl', default_sparsity=0.8,
                            default_anneal='cosine', default_lr=0.05)
 safe_flags.DEFINE_string('dataset', 'mnist', 'mnist|cifar10')
 safe_flags.DEFINE_string('arch', 'mobilenet',
-                         "mobilenet (dense depthwise + packed 1x1s) | "
+                         "mobilenet (generic dense-depthwise + packed-1x1 "
+                         "stack from --conv_stages) | mbv1 (the FULL "
+                         "MobileNet-v1 schedule, reference "
+                         "mobilenetv1_model.py:223-343 — "
+                         "models/packed_convnet.PackedMobileNetV1) | "
                          "wrn (WideResNet, every 3x3 conv on packed "
                          "SPATIAL storage — layers/packed_conv.PackedConv)"
                          " | rn50 (full bottleneck ResNet, all eligible "
@@ -42,6 +46,8 @@ safe_flags.DEFINE_integer('rn_depth', 50, 'bottleneck ResNet depth '
                           '(50|101|152|200)')
 safe_flags.DEFINE_float('rn_width_mult', 1.0, 'bottleneck width '
                         'multiplier (reference width flag)')
+safe_flags.DEFINE_float('mbv1_width', 1.0, 'MobileNet-v1 width multiplier '
+                        '(published _make_divisible rounding)')
 safe_flags.DEFINE_integer('stem_width', 32, 'dense 3x3 stem channels')
 safe_flags.DEFINE_string('conv_stages', '64:2,128:2,128:1',
                          'comma-separated features:stride per packed '
@@ -120,6 +126,22 @@ def main(argv):
     model = PackedResNet(sparsity=sparsity, block=cfg.block,
                          bm=FLAGS.packed_bm, **rn)
     twin = DenseResNetTwin(block=cfg.block, **rn)
+    model_sharded = None
+  elif FLAGS.arch == 'mbv1':
+    from rigl_tpu.models.packed_convnet import (DenseMobileNetV1Twin,
+                                                PackedMobileNetV1,
+                                                mbv1_layer_shapes)
+    if cfg.n_model > 1:
+      raise ValueError('--arch=mbv1 does not support tensor parallelism '
+                       'yet')
+    sparsity = spec_for_model(
+        mbv1_layer_shapes(FLAGS.mbv1_width, cfg.block),
+        FLAGS.mask_init_method, FLAGS.end_sparsity,
+        erk_power_scale=FLAGS.erk_power_scale)
+    mb = dict(width_mult=FLAGS.mbv1_width, num_classes=info['num_classes'])
+    model = PackedMobileNetV1(sparsity=sparsity, block=cfg.block,
+                              bm=FLAGS.packed_bm, **mb)
+    twin = DenseMobileNetV1Twin(block=cfg.block, **mb)
     model_sharded = None
   elif FLAGS.arch == 'wrn':
     from rigl_tpu.models.packed_convnet import (DenseWideResNetTwin,

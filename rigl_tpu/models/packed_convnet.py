@@ -192,6 +192,145 @@ class DenseConvNet(nn.Module):
                      self.num_classes, self.dtype)
 
 
+# --------------------------------------------------------------- MBv1 -----
+# The COMPLETE MobileNet-v1 on packed storage — the reference's second
+# published model family (mobilenetv1_model.py:223-343: stem 3x3/s2 at
+# _make_divisible(32*width), 13 depthwise-separable blocks
+# 64,128s2,128,256s2,256,512s2,512x5,1024s2,1024, global pool + FC).
+# Depthwise 3x3s stay DENSE (the reference's depthwise_conv2d_fixed_padding
+# has no pruning arg, :43); every 1x1 pointwise contraction is packed
+# block-sparse storage (mbv1_block_ prunes exactly these, :205-221).
+# Width multiplier uses the published _make_divisible(int(width*filters), 8)
+# rounding (:33-40, :205).  Block-ineligible pointwise convs (channel dims
+# not dividing the block at small widths/large blocks) ride dense, like
+# PackedResNet's fallback.  Stride lives in the pointwise subsample
+# (PackedConv1x1 convention — for 1x1 SAME convs, stride-subsample == the
+# strided conv exactly; the depthwise 3x3 then runs at the INPUT
+# resolution, a documented deviation from the reference's strided dw).
+
+MBV1_BLOCK_SCHEDULE = ((64, 1), (128, 2), (128, 1), (256, 2), (256, 1),
+                       (512, 2), (512, 1), (512, 1), (512, 1), (512, 1),
+                       (512, 1), (1024, 2), (1024, 1))
+
+
+def make_divisible(v, divisor: int = 8, min_value=None) -> int:
+  """The published MobileNet channel-rounding rule (round to the nearest
+  multiple of `divisor`, never below min_value, never rounding down by
+  more than 10% — mobilenetv1_model.py:33-40)."""
+  if min_value is None:
+    min_value = divisor
+  new_v = max(min_value, int(v + divisor / 2) // divisor * divisor)
+  if new_v < 0.9 * v:
+    new_v += divisor
+  return new_v
+
+
+def mbv1_config(width_mult: float = 1.0):
+  """(stem_width, stages) of MobileNet-v1 at a width multiplier."""
+  stem = make_divisible(32 * width_mult)
+  stages = tuple((make_divisible(int(f * width_mult)), s)
+                 for f, s in MBV1_BLOCK_SCHEDULE)
+  return stem, stages
+
+
+def mbv1_layer_shapes(width_mult: float = 1.0,
+                      block: Tuple[int, int] = (16, 16)):
+  """{path: (1, 1, cin, cout)} for every PACKED pointwise conv of a
+  PackedMobileNetV1 — mirrors the model's block-eligibility rule, for the
+  ERK solver (the reference computes MBv1 ERK over exactly the pruned
+  pointwise kernels, sparse_utils.py:258-316)."""
+  bk, bn = block
+  stem, stages = mbv1_config(width_mult)
+  shapes = {}
+  cin = stem
+  for i, (features, _) in enumerate(stages):
+    if cin % bk == 0 and features % bn == 0:
+      shapes[f'stage{i}/pw/kernel'] = (1, 1, cin, features)
+    cin = features
+  return shapes
+
+
+class PackedMobileNetV1(nn.Module):
+  """MobileNet-v1 with every (block-eligible) pointwise conv on packed
+  block-sparse storage (family comment above).
+
+  `sparsity`: float (uniform — the reference's published MBv1 recipe is
+  uniform 89%/75%, README.md:52-58) or SparsityMap over mbv1_layer_shapes
+  paths."""
+  num_classes: int = 1000
+  width_mult: float = 1.0
+  sparsity: Any = 0.8
+  block: Tuple[int, int] = (16, 16)
+  bm: int = 128
+  dtype: Any = jnp.float32
+
+  @nn.compact
+  def __call__(self, x):
+    from rigl_tpu.layers.packed_conv import PackedConv1x1
+    stem, stages = mbv1_config(self.width_mult)
+    bk, bn = self.block
+    sparsity, block, bm, dtype = (self.sparsity, self.block, self.bm,
+                                  self.dtype)
+    x = nn.Conv(stem, (3, 3), strides=(2, 2), padding='SAME',
+                use_bias=False, dtype=dtype, name='stem')(x)
+    x = nn.GroupNorm(num_groups=min(8, stem), dtype=dtype,
+                     name='gn_stem')(x)
+    x = nn.relu(x)
+    cin = stem
+    for i, (features, stride) in enumerate(stages):
+      eligible = cin % bk == 0 and features % bn == 0
+
+      def pointwise(features, strides, name, eligible=eligible):
+        if eligible:
+          return PackedConv1x1(features, sparsity=sparsity, block=block,
+                               bm=bm, strides=strides, use_bias=False,
+                               dtype=dtype, name=name)
+        return nn.Conv(features, (1, 1), strides=strides, use_bias=False,
+                       dtype=dtype, name=name)
+
+      x = _Stage(features, (stride, stride), pointwise, dtype,
+                 name=f'stage{i}')(x)
+      cin = features
+    x = jnp.mean(x, axis=(1, 2))
+    return nn.Dense(self.num_classes, dtype=dtype, name='head')(x)
+
+
+class DenseMobileNetV1Twin(nn.Module):
+  """Equal-architecture dense twin of PackedMobileNetV1: eligible
+  pointwise convs are _DensePointwise ('d'-child — the dense_twin_params
+  convention), ineligible ones the identical plain nn.Conv."""
+  num_classes: int = 1000
+  width_mult: float = 1.0
+  block: Tuple[int, int] = (16, 16)
+  dtype: Any = jnp.float32
+
+  @nn.compact
+  def __call__(self, x):
+    stem, stages = mbv1_config(self.width_mult)
+    bk, bn = self.block
+    dtype = self.dtype
+    x = nn.Conv(stem, (3, 3), strides=(2, 2), padding='SAME',
+                use_bias=False, dtype=dtype, name='stem')(x)
+    x = nn.GroupNorm(num_groups=min(8, stem), dtype=dtype,
+                     name='gn_stem')(x)
+    x = nn.relu(x)
+    cin = stem
+    for i, (features, stride) in enumerate(stages):
+      eligible = cin % bk == 0 and features % bn == 0
+
+      def pointwise(features, strides, name, eligible=eligible):
+        if eligible:
+          return _DensePointwise(features, strides, dtype, name=name)
+        return nn.Conv(features, (1, 1), strides=strides, use_bias=False,
+                       dtype=dtype, name=name)
+
+      x = _Stage(features, (stride, stride), pointwise, dtype,
+                 name=f'stage{i}')(x)
+      cin = features
+    x = jnp.mean(x, axis=(1, 2))
+    return nn.Dense(self.num_classes, dtype=dtype, name='head')(x)
+
+
 # ---------------------------------------------------------------- WRN -----
 # Wide ResNet (6n+4, k) with every 3x3 conv on PACKED spatial storage —
 # the reference's CIFAR family (rigl/cifar_resnet/resnet.py WRN-22-2) with

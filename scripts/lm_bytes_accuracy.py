@@ -52,6 +52,10 @@ if len(_BLOCK) != 2:
 # its stable lr, like the reference's separately-tuned dense baselines.
 LR = float(os.environ.get('LM_LR', 1e-3))
 DENSE_LR = float(os.environ.get('LM_DENSE_LR', 3e-4))
+# LM_DIST=uniform|erdos_renyi|erdos_renyi_kernel: per-layer sparsity
+# distribution of the sparse arms (sparsity/layer_sparsity.py; round-5
+# ERK-on-packed plumbing).  Dense arms ignore it.
+DIST = os.environ.get('LM_DIST', 'uniform')
 CFG = dict(vocab_size=256, num_layers=2,
            d_model=int(os.environ.get('LM_D_MODEL', 128)),
            d_ff=int(os.environ.get('LM_D_FF', 512)),
@@ -98,7 +102,9 @@ def run_arm(arm, train_tokens, eval_tokens, arm_sparsity):
     cfg = PackedLMConfig(
         n_experts=4 if arm.startswith('moe') else 0,
         learning_rate=DENSE_LR if dense else LR,
-        sparsity=sparsity, train_steps=STEPS,
+        sparsity=sparsity,
+        sparsity_distribution='uniform' if dense else DIST,
+        train_steps=STEPS,
         maskupdate_begin_step=0,
         maskupdate_end_step=0 if (static or dense)
         else int(STEPS * 0.75),
@@ -123,6 +129,7 @@ def run_arm(arm, train_tokens, eval_tokens, arm_sparsity):
     updates = res['mask_updates']
     n_packed, n_dense = res['n_params_packed'], res['n_params_dense_equiv']
   out = {'arm': arm, 'sparsity': sparsity,
+         'distribution': 'uniform' if dense else DIST,
          'learning_rate': DENSE_LR if dense else LR,
          'eval_ce_nats_mean': round(float(np.mean(ces)), 4),
          'eval_ce_per_seed': [round(c, 4) for c in ces],

@@ -182,3 +182,100 @@ def test_packed_convnet_trains_on_digits():
   # s=0.5 keep 1 block each -> 2 of 3 blocks total.
   assert res['n_params_packed'] < res['n_params_dense_equiv']
   assert res['eval_top_1'] > 0.7, res
+
+
+# ----------------------------------------------------------- MBv1 --------
+def test_mbv1_config_published_schedule():
+  """Width schedule + _make_divisible rounding match the reference
+  generator (mobilenetv1_model.py:223-343, :33-40)."""
+  from rigl_tpu.models.packed_convnet import make_divisible, mbv1_config
+  stem, stages = mbv1_config(1.0)
+  assert stem == 32
+  assert [f for f, _ in stages] == [64, 128, 128, 256, 256, 512, 512, 512,
+                                    512, 512, 512, 1024, 1024]
+  assert [s for _, s in stages] == [1, 2, 1, 2, 1, 2, 1, 1, 1, 1, 1, 2, 1]
+  # width 0.25: published rounding (int(w*f) then divisible-by-8).
+  stem25, stages25 = mbv1_config(0.25)
+  assert stem25 == 8
+  assert [f for f, _ in stages25][:5] == [16, 32, 32, 64, 64]
+  assert make_divisible(90) == 88 and make_divisible(12) == 16
+
+
+def test_packed_mbv1_matches_dense_twin_and_census():
+  """Full PackedMobileNetV1 at width 0.25: packed forward == dense-twin
+  forward on the unpacked params; census = 13 packed pointwise convs at
+  (16,16)... minus the width-8 stem-input stage (ineligible -> dense
+  fallback), dense depthwise/stem/head (the reference's sparsity
+  structure, mobilenetv1_model.py:43,205-221)."""
+  import flax.traverse_util as traverse
+  from rigl_tpu.models.packed_convnet import (DenseMobileNetV1Twin,
+                                              PackedMobileNetV1)
+  kw = dict(width_mult=0.25, num_classes=10)
+  model = PackedMobileNetV1(sparsity=0.5, block=(16, 16), bm=32, **kw)
+  x = jnp.asarray(np.random.RandomState(0).randn(2, 32, 32, 3), jnp.float32)
+  variables = model.init(jax.random.key(0), x)
+  flat_pk = traverse.flatten_dict(variables['packing'])
+  flat_p = traverse.flatten_dict(variables['params'])
+  # stage0's pointwise has cin=8 (stem 8 % 16 != 0) -> dense fallback;
+  # stages 1-12 packed.
+  assert len(flat_pk) == 12
+  assert ('stage0', 'pw', 'kernel') not in flat_pk
+  assert ('stage1', 'pw', 'kernel') in flat_pk
+  # Depthwise convs exist and are DENSE (no packing entry).
+  dw = [p for p in flat_p if p[-2] == 'dw']
+  assert len(dw) == 13
+  assert not any(p[:-1] + ('kernel',) in flat_pk for p in dw)
+
+  y_packed = model.apply(variables, x)
+  twin = DenseMobileNetV1Twin(block=(16, 16), **kw)
+  tvars = dense_twin_params(variables['params'], variables['packing'],
+                            (16, 16))
+  y_twin = twin.apply({'params': tvars}, x)
+  assert y_packed.shape == (2, 10)
+  np.testing.assert_allclose(np.asarray(y_packed), np.asarray(y_twin),
+                             rtol=1e-4, atol=1e-4)
+
+
+def test_packed_mbv1_erk_map_and_layer_shapes():
+  from rigl_tpu.models.packed_convnet import mbv1_layer_shapes
+  from rigl_tpu.sparsity.layer_sparsity import (achieved_block_sparsity,
+                                                make_sparsity_map)
+  shapes = mbv1_layer_shapes(1.0, (16, 16))
+  assert len(shapes) == 13                     # width 1: all eligible
+  assert shapes['stage0/pw/kernel'] == (1, 1, 32, 64)
+  assert shapes['stage12/pw/kernel'] == (1, 1, 1024, 1024)
+  m = make_sparsity_map(shapes, 'erdos_renyi_kernel', 0.8)
+  ach = achieved_block_sparsity(shapes, m, (16, 16))
+  assert abs(ach - 0.8) < 0.005, ach
+  # Ineligible stages drop out of the solve at width 0.25.
+  assert 'stage0/pw/kernel' not in mbv1_layer_shapes(0.25, (16, 16))
+
+
+@pytest.mark.slow
+def test_packed_mbv1_trains_with_rigl_updates():
+  from rigl_tpu.models.packed_convnet import (DenseMobileNetV1Twin,
+                                              PackedMobileNetV1)
+  from rigl_tpu.train.packed_classifier import (PackedClassifierConfig,
+                                                PackedClassifierTrainer)
+  import flax.traverse_util as traverse
+  from rigl_tpu.transforms.packed_training import occupancy_grid
+  kw = dict(width_mult=0.25, num_classes=10)
+  cfg = PackedClassifierConfig(
+      sparsity=0.5, block=(16, 16), learning_rate=0.05, train_steps=6,
+      batch_size=16, maskupdate_begin_step=0, maskupdate_end_step=100,
+      maskupdate_frequency=3, drop_fraction=0.5, seed=0)
+  model = PackedMobileNetV1(sparsity=cfg.sparsity, block=cfg.block, bm=32,
+                            **kw)
+  twin = DenseMobileNetV1Twin(block=cfg.block, **kw)
+  rs = np.random.RandomState(0)
+  x = rs.randn(64, 16, 16, 3).astype(np.float32)
+  y = rs.randint(0, 10, 64).astype(np.int32)
+  tr = PackedClassifierTrainer(model, twin, cfg, input_shape=(16, 16, 3))
+  tr.init_state()
+  occ0 = {p: np.asarray(occupancy_grid(pk))
+          for p, pk in traverse.flatten_dict(tr.packings).items()}
+  res = tr.train((x, y))
+  assert res['mask_updates'] >= 1
+  assert np.isfinite(res['final_loss'])
+  for p, pk in traverse.flatten_dict(tr.packings).items():
+    assert np.asarray(occupancy_grid(pk)).sum() == occ0[p].sum(), p
