@@ -208,13 +208,15 @@ class _MoEBlock(nn.Module):
   token_axes: Tuple[str, ...] = ()
   decode: bool = False
   max_decode_len: int = 0
+  kv_chunk: int = 0
 
   @nn.compact
   def __call__(self, x):
     h = nn.LayerNorm(dtype=self.dtype, name='ln1')(x)
     x = x + _Attention(self.num_heads, self.make_proj, self.dtype,
                        decode=self.decode,
-                       max_decode_len=self.max_decode_len, name='attn')(h)
+                       max_decode_len=self.max_decode_len,
+                       kv_chunk=self.kv_chunk, name='attn')(h)
     h = nn.LayerNorm(dtype=self.dtype, name='ln2')(x)
     return x + _MoEFFN(self.d_ff, self.num_experts, self.make_experts,
                        self.capacity_factor, self.dtype, self.ep_axis,
@@ -248,6 +250,7 @@ class PackedMoETransformer(nn.Module):
   # (see _Attention.decode, _MoEFFN.decode, rigl_tpu/serve/decode.py).
   decode: bool = False
   max_decode_len: int = 0
+  kv_chunk: int = 0
 
   @nn.compact
   def __call__(self, x):
@@ -272,7 +275,8 @@ class PackedMoETransformer(nn.Module):
       x = _MoEBlock(self.num_heads, self.d_ff, self.num_experts, proj,
                     experts, self.capacity_factor, self.dtype,
                     self.ep_axis, self.token_axes, self.decode,
-                    self.max_decode_len, name=f'block{i}')(x)
+                    self.max_decode_len, self.kv_chunk,
+                    name=f'block{i}')(x)
     x = nn.LayerNorm(dtype=self.dtype, name='ln_f')(x)
     if self.vocab_size:
       x = nn.Dense(self.vocab_size, use_bias=False, dtype=self.dtype,
@@ -293,6 +297,7 @@ class DenseMoETransformer(nn.Module):
   dtype: Any = jnp.float32
   decode: bool = False
   max_decode_len: int = 0
+  kv_chunk: int = 0
 
   @nn.compact
   def __call__(self, x):
@@ -312,7 +317,7 @@ class DenseMoETransformer(nn.Module):
       x = _MoEBlock(self.num_heads, self.d_ff, self.num_experts, proj,
                     experts, self.capacity_factor, self.dtype,
                     decode=self.decode, max_decode_len=self.max_decode_len,
-                    name=f'block{i}')(x)
+                    kv_chunk=self.kv_chunk, name=f'block{i}')(x)
     x = nn.LayerNorm(dtype=self.dtype, name='ln_f')(x)
     if self.vocab_size:
       x = nn.Dense(self.vocab_size, use_bias=False, dtype=self.dtype,

@@ -87,6 +87,15 @@ class _Attention(nn.Module):
   fused: bool = False
   decode: bool = False
   max_decode_len: int = 0
+  # kv_chunk > 0: flash-decoding-style CHUNKED cache attention — the
+  # cache is visited in static kv_chunk-sized pieces combined by online
+  # softmax, and chunks entirely beyond the live prefix are skipped via
+  # lax.cond (their k/v are never read from HBM).  Decode KV traffic then
+  # scales with the LIVE length (prompt + tokens so far), not the
+  # allocated max_decode_len — the decode step is KV+weight-bandwidth
+  # bound at batch>=8 (PERF.md round 5), so over-allocated caches
+  # otherwise pay for their padding every step.
+  kv_chunk: int = 0
 
   @nn.compact
   def __call__(self, x):
@@ -159,6 +168,11 @@ class _Attention(nn.Module):
       k_all, v_all = ck.value, cv.value
       q_pos = start + jnp.arange(s)
       k_pos = jnp.arange(L)
+      if self.kv_chunk > 0:
+        o = self._chunked_cache_attend(q, k_all, v_all, q_pos, pad.value,
+                                       L, hd)
+        o = o.transpose(0, 2, 1, 3).reshape(b * s, d)
+        return self.make_proj(d, 'out')(o).reshape(b, s, d)
     logits = jnp.einsum('bhqd,bhkd->bhqk', q, k_all) / np.sqrt(hd)
     mask = ((k_pos[None, :] <= q_pos[:, None])[None, None]
             & (k_pos[None, :] >= pad.value[:, None])[:, None, None, :])
@@ -167,6 +181,60 @@ class _Attention(nn.Module):
     o = jnp.einsum('bhqk,bhkd->bhqd', probs, v_all)
     o = o.transpose(0, 2, 1, 3).reshape(b * s, d)
     return self.make_proj(d, 'out')(o).reshape(b, s, d)
+
+  def _chunked_cache_attend(self, q, k_all, v_all, q_pos, pad, L, hd):
+    """Online-softmax cache attention over static kv_chunk pieces; chunks
+    past the live prefix are skipped via lax.cond (no HBM read).  Same
+    f32 softmax math as the single-pass branch, associatively re-ordered
+    (flash-attention recurrence) — parity within f32 tolerance, oracle
+    in tests/test_decode.py."""
+    chunk = self.kv_chunk
+    if L % chunk:
+      raise ValueError(f'kv_chunk={chunk} must divide '
+                       f'max_decode_len={L}')
+    b, h, s = q.shape[0], q.shape[1], q.shape[2]
+    qf = q.astype(jnp.float32)
+    scale = float(1.0 / np.sqrt(hd))
+    neg = jnp.finfo(jnp.float32).min
+    live_end = q_pos[-1] + 1            # positions < live_end may be valid
+    m0 = jnp.full((b, h, s), neg, jnp.float32)
+    l0 = jnp.zeros((b, h, s), jnp.float32)
+    a0 = jnp.zeros((b, h, s, hd), jnp.float32)
+    carry = (m0, l0, a0)
+    for c in range(L // chunk):
+      lo = c * chunk
+
+      def visit(carry, lo=lo):
+        m, l, acc = carry
+        kc = jax.lax.slice_in_dim(k_all, lo, lo + chunk, axis=2)
+        vc = jax.lax.slice_in_dim(v_all, lo, lo + chunk, axis=2)
+        kpos = lo + jnp.arange(chunk)
+        lg = jnp.einsum('bhqd,bhkd->bhqk', qf,
+                        kc.astype(jnp.float32)) * scale
+        mask = ((kpos[None, :] <= q_pos[:, None])[None, None]
+                & (kpos[None, :] >= pad[:, None])[:, None, None, :])
+        lg = jnp.where(mask, lg, neg)
+        mc = jnp.maximum(m, jnp.max(lg, axis=-1))
+        # p masked explicitly: in a chunk that is all-masked for some row
+        # (a left-pad region), mc stays `neg` there and exp(neg - neg)
+        # would be 1, not 0.
+        p = jnp.where(mask, jnp.exp(lg - mc[..., None]), 0.0)
+        corr = jnp.exp(m - mc)
+        l = l * corr + jnp.sum(p, axis=-1)
+        acc = (acc * corr[..., None]
+               + jnp.einsum('bhqk,bhkd->bhqd', p,
+                            vc.astype(jnp.float32)))
+        return (mc, l, acc)
+
+      carry = jax.lax.cond(live_end > lo, visit, lambda cr: cr, carry)
+    m, l, acc = carry
+    # l == 0 only for queries at LEFT-PAD positions (their own position is
+    # excluded by the pad mask): their output is garbage-by-design (never
+    # read — pad logits are discarded, pad k/v masked out of every later
+    # attention), but it must be FINITE or NaN leaks into later layers'
+    # pad k/v and 0 * NaN poisons the einsum.  The unchunked branch gives
+    # uniform-softmax garbage there; this gives zeros.
+    return (acc / jnp.maximum(l, 1e-30)[..., None]).astype(v_all.dtype)
 
 
 class _Block(nn.Module):
@@ -178,6 +246,7 @@ class _Block(nn.Module):
   fused: bool = False
   decode: bool = False
   max_decode_len: int = 0
+  kv_chunk: int = 0
 
   @nn.compact
   def __call__(self, x):
@@ -185,7 +254,7 @@ class _Block(nn.Module):
     h = nn.LayerNorm(dtype=self.dtype, name='ln1')(x)
     x = x + _Attention(self.num_heads, self.make_proj, self.dtype,
                        self.seq_axis, self.fused, self.decode,
-                       self.max_decode_len, name='attn')(h)
+                       self.max_decode_len, self.kv_chunk, name='attn')(h)
     h = nn.LayerNorm(dtype=self.dtype, name='ln2')(x)
     h2 = self.make_proj(self.d_ff, 'fc1')(h.reshape(b * s, d))
     h2 = jax.nn.gelu(h2)
@@ -228,6 +297,8 @@ class PackedTransformer(nn.Module):
   # model — construct a decode twin with .replace(decode=True, ...).
   decode: bool = False
   max_decode_len: int = 0
+  # Chunked cache attention for decode (see _Attention.kv_chunk).
+  kv_chunk: int = 0
 
   @nn.compact
   def __call__(self, x):
@@ -249,7 +320,7 @@ class PackedTransformer(nn.Module):
     for i in range(self.num_layers):
       x = _Block(self.num_heads, self.d_ff, proj, self.dtype,
                  self.seq_axis, self.fused_attention, self.decode,
-                 self.max_decode_len, name=f'block{i}')(x)
+                 self.max_decode_len, self.kv_chunk, name=f'block{i}')(x)
     x = nn.LayerNorm(dtype=self.dtype, name='ln_f')(x)
     if self.vocab_size:
       # Untied dense head (kept dense like the MLP drivers' classifier).
@@ -270,6 +341,7 @@ class DenseTransformer(nn.Module):
   fused_attention: bool = False
   decode: bool = False
   max_decode_len: int = 0
+  kv_chunk: int = 0
 
   @nn.compact
   def __call__(self, x):
@@ -284,7 +356,8 @@ class DenseTransformer(nn.Module):
     for i in range(self.num_layers):
       x = _Block(self.num_heads, self.d_ff, proj, self.dtype,
                  fused=self.fused_attention, decode=self.decode,
-                 max_decode_len=self.max_decode_len, name=f'block{i}')(x)
+                 max_decode_len=self.max_decode_len,
+                 kv_chunk=self.kv_chunk, name=f'block{i}')(x)
     x = nn.LayerNorm(dtype=self.dtype, name='ln_f')(x)
     if self.vocab_size:
       x = nn.Dense(self.vocab_size, use_bias=False, dtype=self.dtype,

@@ -26,14 +26,18 @@ import jax
 import jax.numpy as jnp
 
 
-def decode_twin(model, max_decode_len: int):
+def decode_twin(model, max_decode_len: int, kv_chunk: int = 0):
   """The decode-mode twin of a train-mode PackedTransformer /
   DenseTransformer: same architecture fields (so params/packing trees
-  line up), decode branch active with an L-token KV cache."""
+  line up), decode branch active with an L-token KV cache.
+
+  kv_chunk > 0: chunked cache attention — per-step KV reads scale with
+  the LIVE prefix instead of max_decode_len (lax.cond chunk skipping;
+  models/packed_transformer._Attention.kv_chunk)."""
   if not getattr(model, 'vocab_size', 0):
     raise ValueError('decoding requires vocab_size > 0 (token inputs)')
   return model.clone(decode=True, max_decode_len=max_decode_len,
-                     parent=None)
+                     kv_chunk=kv_chunk, parent=None)
 
 
 def init_cache(model, batch: int):

@@ -41,6 +41,9 @@ MAXLEN = int(os.environ.get('DEC_MAXLEN', PROMPT + STEPS))
 SPARSITY = float(os.environ.get('DEC_SPARSITY', 0.8))
 BLOCK = tuple(int(b) for b in os.environ.get('DEC_BLOCK', '512,512'
                                              ).split(','))
+# DEC_KV_CHUNK > 0: chunked cache attention (lax.cond chunk skipping) —
+# per-step KV reads scale with the live prefix, not MAXLEN.
+KV_CHUNK = int(os.environ.get('DEC_KV_CHUNK', 0))
 
 
 CHAIN = int(os.environ.get('DEC_CHAIN', 8))
@@ -79,12 +82,12 @@ def main():
 
   dense = DenseTransformer(**kw)
   dv = jax.jit(dense.init)(jax.random.key(1), prompt)
-  fd = make_generate_fn(decode_twin(dense, MAXLEN), STEPS, 0.0)
+  fd = make_generate_fn(decode_twin(dense, MAXLEN, KV_CHUNK), STEPS, 0.0)
   t_dense = bench('dense decode', fd, dv, prompt)
 
   packed = PackedTransformer(sparsity=SPARSITY, block=BLOCK, bm=512, **kw)
   pv = jax.jit(packed.init)(jax.random.key(1), prompt)
-  fp = make_generate_fn(decode_twin(packed, MAXLEN), STEPS, 0.0)
+  fp = make_generate_fn(decode_twin(packed, MAXLEN, KV_CHUNK), STEPS, 0.0)
   t_packed = bench(f'packed decode (s={SPARSITY})', fp, pv, prompt)
 
   # Mixed-length batch row (DEC_MIXED=1): LEFT-padded prompts of lengths
@@ -118,18 +121,23 @@ def main():
         'packed_us_per_tok': round(t_packed_mix * 1e6, 1),
     }), flush=True)
 
-  # Analytic weight bytes per step (bf16), the roofline denominator.
+  # Analytic bytes per step (bf16), the roofline denominator: weights +
+  # the FULL allocated KV cache (k and v read every step by the unchunked
+  # attention; kv_chunk reads only live chunks).
   params = LAYERS * (4 * D_MODEL * D_MODEL + 2 * D_MODEL * D_FF)
+  kv = LAYERS * 2 * BATCH * MAXLEN * D_MODEL
   print(json.dumps({
       'metric': f'decode{LAYERS}x{D_MODEL}_packed{int(SPARSITY*100)}'
                 '_tokens_per_s_speedup_vs_dense',
       'value': round(t_dense / t_packed, 3),
       'unit': 'x dense (per-token decode step)',
       'batch': BATCH, 'prompt': PROMPT, 'steps': STEPS,
+      'maxlen': MAXLEN, 'kv_chunk': KV_CHUNK,
       'dense_us_per_tok': round(t_dense * 1e6, 1),
       'packed_us_per_tok': round(t_packed * 1e6, 1),
       'weight_mb_dense': round(params * 2 / 2**20, 1),
       'weight_mb_packed': round(params * 2 * (1 - SPARSITY) / 2**20, 1),
+      'kv_mb_full': round(kv * 2 / 2**20, 1),
   }), flush=True)
 
 

@@ -215,3 +215,74 @@ def test_generate_variable_length_prompts_match_solo_rows(kind):
     solo = generate(dm, variables, r[None], steps)
     np.testing.assert_array_equal(np.asarray(out[i]), np.asarray(solo[0]),
                                   err_msg=f'row {i} len {n}')
+
+
+# ------------------------------------------------- chunked KV attention
+@pytest.mark.parametrize('kind', ['dense', 'packed'])
+def test_kv_chunked_decode_matches_unchunked(kind):
+  """kv_chunk (flash-decoding-style chunked cache attention with
+  lax.cond chunk skipping) reproduces the unchunked decode logits within
+  f32-reassociation tolerance — incl. positions where later chunks are
+  entirely beyond the live prefix (skipped, never read)."""
+  model = _models(kind)
+  rs = np.random.RandomState(3)
+  tokens = jnp.asarray(rs.randint(0, V, (B, T)), jnp.int32)
+  variables = model.init(jax.random.key(1), tokens)
+
+  def run(kv_chunk):
+    dm = decode_twin(model, L, kv_chunk)
+    cache = jax.jit(dm.init)(jax.random.key(0),
+                             jnp.zeros((B, 1), jnp.int32))['cache']
+    base = {k: v for k, v in variables.items()}
+    lg, mut = dm.apply(dict(base, cache=cache), tokens[:, :P],
+                       mutable=['cache'])
+    outs = [lg]
+    for t in range(P, T):
+      lg, mut = dm.apply(dict(base, cache=mut['cache']),
+                         tokens[:, t:t + 1], mutable=['cache'])
+      outs.append(lg)
+    return jnp.concatenate(outs, axis=1)
+
+  ref = run(0)
+  for chunk in (4, 8, 16):                # several live/skipped splits
+    np.testing.assert_allclose(np.asarray(run(chunk)), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5,
+                               err_msg=f'kv_chunk={chunk}')
+
+
+def test_kv_chunked_varlen_prompts_match_unchunked():
+  """Chunked attention with LEFT-padded variable-length prompts: the
+  pad-mask interacts with per-chunk online softmax (all-masked chunks
+  for short rows must contribute nothing).  Compares teacher-forced
+  LOGITS (tokens would amplify f32 reassociation through argmax)."""
+  from rigl_tpu.serve.decode import _set_pad_lens
+  model = _models('packed')
+  rs = np.random.RandomState(5)
+  lens = [P, 2]
+  rows = [rs.randint(0, V, (n,)) for n in lens]
+  padded = jnp.asarray(np.stack(
+      [np.pad(r, (P - len(r), 0)) for r in rows]), jnp.int32)
+  plens = jnp.asarray(lens, jnp.int32)
+  variables = model.init(jax.random.key(1), padded)
+  feed = jnp.asarray(rs.randint(0, V, (B, 4)), jnp.int32)
+
+  def run(kv_chunk):
+    dm = decode_twin(model, L, kv_chunk)
+    cache = jax.jit(dm.init)(jax.random.key(0),
+                             jnp.zeros((B, 1), jnp.int32))['cache']
+    cache = _set_pad_lens(cache, P - plens)
+    base = {k: v for k, v in variables.items()}
+    lg, mut = dm.apply(dict(base, cache=cache), padded,
+                       mutable=['cache'])
+    # Only the LAST prefill position's logits are ever read (the pad
+    # positions' outputs are garbage-by-design and intentionally differ:
+    # uniform-softmax unchunked vs zeros chunked).
+    outs = [lg[:, -1:]]
+    for t in range(feed.shape[1]):
+      lg, mut = dm.apply(dict(base, cache=mut['cache']),
+                         feed[:, t:t + 1], mutable=['cache'])
+      outs.append(lg)
+    return jnp.concatenate(outs, axis=1)
+
+  np.testing.assert_allclose(np.asarray(run(4)), np.asarray(run(0)),
+                             rtol=2e-4, atol=2e-5)

@@ -249,3 +249,48 @@ def test_sample_top_p_degenerate_keeps_top_token():
   for tp in (0.0, 1e-9):
     out = _sample(logits, jax.random.key(0), temperature=1.0, top_p=tp)
     assert int(out[0]) == 1          # the argmax token, never uniform
+
+
+@pytest.mark.slow
+def test_packed_resnet50_erk_parity_and_drop_grow():
+  """Packed RN50 at per-layer ERK: forward == dense twin on the unpacked
+  params (per-layer n_active transparent to dense_twin_params), and one
+  RigL drop/grow update preserves every layer's count — the reference's
+  flagship ERK recipe end to end on packed storage."""
+  from rigl_tpu.models.packed_convnet import (DenseResNetTwin, PackedResNet,
+                                              resnet_layer_shapes)
+  from rigl_tpu.train.packed_classifier import (PackedClassifierConfig,
+                                                PackedClassifierTrainer)
+  from rigl_tpu.train.packed_lm import dense_twin_params
+  from rigl_tpu.transforms.packed_training import occupancy_grid
+  kw = dict(depth=50, num_classes=10, width_mult=0.25)
+  shapes = resnet_layer_shapes(50, 0.25, (16, 16))
+  m = make_sparsity_map(shapes, 'erdos_renyi_kernel', 0.8)
+  model = PackedResNet(sparsity=m, block=(16, 16), bm=32, **kw)
+  x = jnp.asarray(np.random.RandomState(0).randn(2, 16, 16, 3), jnp.float32)
+  variables = model.init(jax.random.key(0), x)
+  y_packed = model.apply(variables, x)
+  twin = DenseResNetTwin(block=(16, 16), **kw)
+  tvars = dense_twin_params(variables['params'], variables['packing'],
+                            (16, 16))
+  y_twin = twin.apply({'params': tvars}, x)
+  np.testing.assert_allclose(np.asarray(y_packed), np.asarray(y_twin),
+                             rtol=1e-4, atol=1e-4)
+
+  cfg = PackedClassifierConfig(sparsity=0.8, block=(16, 16),
+                               train_steps=2, batch_size=8,
+                               maskupdate_begin_step=0,
+                               maskupdate_end_step=-1,
+                               maskupdate_frequency=1,
+                               drop_fraction_anneal='constant')
+  rs = np.random.RandomState(0)
+  xd = rs.randn(16, 16, 16, 3).astype(np.float32)
+  yd = rs.randint(0, 10, 16).astype(np.int32)
+  tr = PackedClassifierTrainer(model, twin, cfg, input_shape=(16, 16, 3))
+  tr.init_state()
+  occ0 = {p: int(np.asarray(occupancy_grid(pk)).sum())
+          for p, pk in tv.flatten_dict(tr.packings).items()}
+  res = tr.train((xd, yd))
+  assert res['mask_updates'] >= 1
+  for p, pk in tv.flatten_dict(tr.packings).items():
+    assert int(np.asarray(occupancy_grid(pk)).sum()) == occ0[p], p
