@@ -33,6 +33,15 @@ SHAPES = [  # (m, K, N, block)
     (8, 2048, 2048, (512, 512)),      # decode step row count (act regime)
 ]
 
+# Per-layer ERK operating points (round 5: SparsityMap on packed storage,
+# d512/128-block LM config): the solver gives every layer a DIFFERENT
+# density — cover the densest (attn/out at s~=0.70) and sparsest
+# (fc at s~=0.8125) against the same bit-exactness bar.
+ERK_SHAPES = [  # (m, K, N, block, density)
+    (1024, 512, 512, (128, 128), 0.30),     # attn/out at ERK-80
+    (1024, 2048, 512, (128, 128), 0.1875),  # fc2 at ERK-80
+]
+
 
 def run_variant(variant, x, wp, packing, block, rowmode='dummy'):
   os.environ['RIGL_PACKED_MM_VARIANT'] = variant
@@ -53,10 +62,12 @@ def run_variant(variant, x, wp, packing, block, rowmode='dummy'):
 
 def main():
   rs = np.random.RandomState(0)
-  for m, kdim, n, block in SHAPES:
+  all_shapes = ([(m, k, n, b, 0.2) for m, k, n, b in SHAPES]
+                + ERK_SHAPES)
+  for m, kdim, n, block, density in all_shapes:
     bk, bn = block
     nk, nn = kdim // bk, n // bn
-    n_active = max(1, int(0.2 * nk * nn))
+    n_active = max(1, int(density * nk * nn))
     flat = np.zeros(nk * nn, np.int32)
     flat[rs.choice(nk * nn, n_active, replace=False)] = 1
     bm_np = flat.reshape(nk, nn)

@@ -20,12 +20,24 @@ cd /root/repo
 mkdir -p logs
 
 echo "=== A: decode attribution $(date) ==="
-for cfg in "1 256" "8 256" "8 512" "8 1024" "4 256" "16 256"; do
-  set -- $cfg
-  echo "--- batch=$1 maxlen=$2"
-  DEC_BATCH=$1 DEC_MAXLEN=$2 DEC_SPARSITY=0.8 \
-    python scripts/bench_packed_decode.py 2>&1 | grep -v WARNING
-done > logs/r5_decode_attrib.log 2>&1
+{
+  for cfg in "1 256" "8 256" "8 512" "8 1024" "4 256" "16 256"; do
+    set -- $cfg
+    echo "--- batch=$1 maxlen=$2"
+    DEC_BATCH=$1 DEC_MAXLEN=$2 DEC_SPARSITY=0.8 \
+      python scripts/bench_packed_decode.py 2>&1 | grep -v WARNING
+  done
+  # Chunked cache attention: live-prefix-proportional KV reads — the
+  # over-allocated-cache row (L=1024, live <=256) should fall back to
+  # ~the L=256 step time; the tight row (L=256, chunk 128) saves the
+  # ~25% average-live margin.
+  for cfg in "8 1024 256" "8 1024 128" "8 256 128" "1 1024 256"; do
+    set -- $cfg
+    echo "--- batch=$1 maxlen=$2 kv_chunk=$3"
+    DEC_BATCH=$1 DEC_MAXLEN=$2 DEC_KV_CHUNK=$3 DEC_SPARSITY=0.8 \
+      python scripts/bench_packed_decode.py 2>&1 | grep -v WARNING
+  done
+} > logs/r5_decode_attrib.log 2>&1
 echo "=== A done $(date) ==="
 
 echo "=== B1: block-size sweep $(date) ==="
