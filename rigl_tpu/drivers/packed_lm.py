@@ -77,6 +77,10 @@ safe_flags.DEFINE_integer('generate_top_k', 0, 'top-k sampling truncation '
                           '(0 = off)')
 safe_flags.DEFINE_float('generate_top_p', 1.0, 'nucleus (top-p) sampling '
                         'mass (1.0 = off)')
+safe_flags.DEFINE_integer('generate_kv_chunk', 0, 'chunked KV-cache '
+                          'attention: per-step KV reads scale with the '
+                          'live prefix instead of the allocated cache '
+                          '(0 = off; must divide the cache length)')
 safe_flags.DEFINE_float('snfs_momentum', 0.9, 'EMA decay for '
                         '--training_method=momentum (SNFS) grow scores')
 
@@ -191,6 +195,7 @@ def main(argv):
                            temperature=FLAGS.generate_temperature,
                            top_k=FLAGS.generate_top_k,
                            top_p=FLAGS.generate_top_p,
+                           kv_chunk=FLAGS.generate_kv_chunk,
                            seed=FLAGS.seed)
     result['generated_tokens'] = out[0].tolist()
     if vocab == 256:

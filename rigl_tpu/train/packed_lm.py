@@ -652,7 +652,7 @@ class PackedLMTrainer:
   def generate(self, prompt_tokens, steps: int, *,
                temperature: float = 0.0, top_k: int = 0,
                top_p: float = 1.0, prompt_lens=None, seed: int = 0,
-               max_len: int = 0) -> np.ndarray:
+               max_len: int = 0, kv_chunk: int = 0) -> np.ndarray:
     """Autoregressive generation from the current packed weights via the
     serving decode path (rigl_tpu/serve/decode.py: jitted prefill +
     lax.scan, KV cache; the decode twin shares this trainer's params and
@@ -671,8 +671,11 @@ class PackedLMTrainer:
       params = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)), params)
       packings = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)),
                               packings)
+    # kv_chunk: chunked cache attention (per-step KV reads scale with the
+    # live prefix — worthwhile when max_len over-allocates; see
+    # serve/decode.decode_twin).
     dm = decode_twin(self.model,
-                     max_len or (int(prompt.shape[1]) + steps))
+                     max_len or (int(prompt.shape[1]) + steps), kv_chunk)
     fn = make_generate_fn(dm, steps, temperature, top_k, top_p)
     return np.asarray(fn({'params': params, 'packing': packings}, prompt,
                          jax.random.key(seed),
