@@ -250,6 +250,34 @@ def mbv1_layer_shapes(width_mult: float = 1.0,
   return shapes
 
 
+def _mbv1_backbone(x, width_mult, block, make_eligible_pointwise,
+                   make_fallback_pointwise, num_classes, dtype):
+  """ONE MBv1 stage walk shared by the packed model, the dense twin, and
+  (via mbv1_layer_shapes using the same eligibility predicate) the ERK
+  solver — the block-eligibility rule must never fork across the three."""
+  stem, stages = mbv1_config(width_mult)
+  bk, bn = block
+  x = nn.Conv(stem, (3, 3), strides=(2, 2), padding='SAME',
+              use_bias=False, dtype=dtype, name='stem')(x)
+  x = nn.GroupNorm(num_groups=min(8, stem), dtype=dtype,
+                   name='gn_stem')(x)
+  x = nn.relu(x)
+  cin = stem
+  for i, (features, stride) in enumerate(stages):
+    eligible = cin % bk == 0 and features % bn == 0
+
+    def pointwise(features, strides, name, eligible=eligible):
+      if eligible:
+        return make_eligible_pointwise(features, strides, name)
+      return make_fallback_pointwise(features, strides, name)
+
+    x = _Stage(features, (stride, stride), pointwise, dtype,
+               name=f'stage{i}')(x)
+    cin = features
+  x = jnp.mean(x, axis=(1, 2))
+  return nn.Dense(num_classes, dtype=dtype, name='head')(x)
+
+
 class PackedMobileNetV1(nn.Module):
   """MobileNet-v1 with every (block-eligible) pointwise conv on packed
   block-sparse storage (family comment above).
@@ -267,32 +295,20 @@ class PackedMobileNetV1(nn.Module):
   @nn.compact
   def __call__(self, x):
     from rigl_tpu.layers.packed_conv import PackedConv1x1
-    stem, stages = mbv1_config(self.width_mult)
-    bk, bn = self.block
     sparsity, block, bm, dtype = (self.sparsity, self.block, self.bm,
                                   self.dtype)
-    x = nn.Conv(stem, (3, 3), strides=(2, 2), padding='SAME',
-                use_bias=False, dtype=dtype, name='stem')(x)
-    x = nn.GroupNorm(num_groups=min(8, stem), dtype=dtype,
-                     name='gn_stem')(x)
-    x = nn.relu(x)
-    cin = stem
-    for i, (features, stride) in enumerate(stages):
-      eligible = cin % bk == 0 and features % bn == 0
 
-      def pointwise(features, strides, name, eligible=eligible):
-        if eligible:
-          return PackedConv1x1(features, sparsity=sparsity, block=block,
-                               bm=bm, strides=strides, use_bias=False,
-                               dtype=dtype, name=name)
-        return nn.Conv(features, (1, 1), strides=strides, use_bias=False,
-                       dtype=dtype, name=name)
+    def packed_pw(features, strides, name):
+      return PackedConv1x1(features, sparsity=sparsity, block=block,
+                           bm=bm, strides=strides, use_bias=False,
+                           dtype=dtype, name=name)
 
-      x = _Stage(features, (stride, stride), pointwise, dtype,
-                 name=f'stage{i}')(x)
-      cin = features
-    x = jnp.mean(x, axis=(1, 2))
-    return nn.Dense(self.num_classes, dtype=dtype, name='head')(x)
+    def dense_pw(features, strides, name):
+      return nn.Conv(features, (1, 1), strides=strides, use_bias=False,
+                     dtype=dtype, name=name)
+
+    return _mbv1_backbone(x, self.width_mult, block, packed_pw, dense_pw,
+                          self.num_classes, dtype)
 
 
 class DenseMobileNetV1Twin(nn.Module):
@@ -306,29 +322,17 @@ class DenseMobileNetV1Twin(nn.Module):
 
   @nn.compact
   def __call__(self, x):
-    stem, stages = mbv1_config(self.width_mult)
-    bk, bn = self.block
     dtype = self.dtype
-    x = nn.Conv(stem, (3, 3), strides=(2, 2), padding='SAME',
-                use_bias=False, dtype=dtype, name='stem')(x)
-    x = nn.GroupNorm(num_groups=min(8, stem), dtype=dtype,
-                     name='gn_stem')(x)
-    x = nn.relu(x)
-    cin = stem
-    for i, (features, stride) in enumerate(stages):
-      eligible = cin % bk == 0 and features % bn == 0
 
-      def pointwise(features, strides, name, eligible=eligible):
-        if eligible:
-          return _DensePointwise(features, strides, dtype, name=name)
-        return nn.Conv(features, (1, 1), strides=strides, use_bias=False,
-                       dtype=dtype, name=name)
+    def twin_pw(features, strides, name):
+      return _DensePointwise(features, strides, dtype, name=name)
 
-      x = _Stage(features, (stride, stride), pointwise, dtype,
-                 name=f'stage{i}')(x)
-      cin = features
-    x = jnp.mean(x, axis=(1, 2))
-    return nn.Dense(self.num_classes, dtype=dtype, name='head')(x)
+    def dense_pw(features, strides, name):
+      return nn.Conv(features, (1, 1), strides=strides, use_bias=False,
+                     dtype=dtype, name=name)
+
+    return _mbv1_backbone(x, self.width_mult, self.block, twin_pw,
+                          dense_pw, self.num_classes, dtype)
 
 
 # ---------------------------------------------------------------- WRN -----

@@ -673,9 +673,13 @@ class PackedLMTrainer:
                               packings)
     # kv_chunk: chunked cache attention (per-step KV reads scale with the
     # live prefix — worthwhile when max_len over-allocates; see
-    # serve/decode.decode_twin).
-    dm = decode_twin(self.model,
-                     max_len or (int(prompt.shape[1]) + steps), kv_chunk)
+    # serve/decode.decode_twin).  The cache length rounds UP to the next
+    # chunk multiple (the chunking contract needs exact divisibility; the
+    # extra tail chunks are skipped by lax.cond, costing nothing).
+    L = max_len or (int(prompt.shape[1]) + steps)
+    if kv_chunk > 0:
+      L = -(-L // kv_chunk) * kv_chunk
+    dm = decode_twin(self.model, L, kv_chunk)
     fn = make_generate_fn(dm, steps, temperature, top_k, top_p)
     return np.asarray(fn({'params': params, 'packing': packings}, prompt,
                          jax.random.key(seed),

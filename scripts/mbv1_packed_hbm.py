@@ -41,31 +41,12 @@ ITERS = int(os.environ.get('MBV1_ITERS', 20))
 WARMUP = int(os.environ.get('MBV1_WARMUP', 3))
 
 from scripts.rn50_packed_hbm import (analyze, make_train_step,  # noqa: E402
-                                     tree_bytes)
+                                     time_inference_with, tree_bytes)
 
 
 def time_inference(model, variables, batch, dtype):
-  import jax
-  import jax.numpy as jnp
-  rs = np.random.RandomState(0)
-  x = jnp.asarray(rs.randn(batch, IMAGE, IMAGE, 3), dtype)
-  packings = variables.get('packing', {})
-
-  @jax.jit
-  def fwd(x, bias):
-    lg = model.apply({'params': variables['params'], 'packing': packings}
-                     if packings else {'params': variables['params']}, x)
-    return lg, jnp.sum(lg.astype(jnp.float32)) * 1e-12 + bias
-
-  bias = jnp.zeros((), jnp.float32)
-  for _ in range(WARMUP):
-    lg, bias = fwd(x + bias, bias)
-  _ = float(bias)
-  t0 = time.perf_counter()
-  for _ in range(ITERS):
-    lg, bias = fwd(x + bias, bias)
-  _ = float(bias)
-  return (time.perf_counter() - t0) / ITERS
+  return time_inference_with(model, variables, batch, dtype,
+                             image=IMAGE, warmup=WARMUP, iters=ITERS)
 
 
 def main():

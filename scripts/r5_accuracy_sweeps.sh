@@ -19,7 +19,8 @@ LM_ARMS=dense,packed_rigl,packed_static \
 LM_D_MODEL=384 LM_D_FF=1536 LM_HEADS=8 LM_BLOCK=128,128 LM_BM=512 \
   python scripts/lm_bytes_accuracy.py \
   > logs/r5_d384_s08.json 2> logs/r5_d384_s08.log
-echo "=== d384 sweep done $(date) rc=$? ==="
+rc=$?
+echo "=== d384 sweep done $(date) rc=$rc ==="
 
 echo "=== ERK d512 s=0.8 sweep start $(date) ==="
 LM_STEPS=10000 LM_SPARSITIES=0.8 LM_SEEDS=0,1,2 \
@@ -27,4 +28,5 @@ LM_ARMS=packed_rigl,packed_static LM_DIST=erdos_renyi_kernel \
 LM_D_MODEL=512 LM_D_FF=2048 LM_HEADS=8 LM_BLOCK=128,128 LM_BM=512 \
   python scripts/lm_bytes_accuracy.py \
   > logs/r5_erk_s08.json 2> logs/r5_erk_s08.log
-echo "=== ERK sweep done $(date) rc=$? ==="
+rc=$?
+echo "=== ERK sweep done $(date) rc=$rc ==="

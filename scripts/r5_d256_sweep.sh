@@ -13,4 +13,5 @@ LM_ARMS=dense,packed_rigl,packed_static \
 LM_D_MODEL=256 LM_D_FF=1024 LM_HEADS=8 LM_BLOCK=128,128 LM_BM=512 \
   python scripts/lm_bytes_accuracy.py \
   > logs/r5_d256_s08.json 2> logs/r5_d256_s08.log
-echo "=== d256 sweep done $(date) rc=$? ==="
+rc=$?
+echo "=== d256 sweep done $(date) rc=$rc ==="

@@ -73,4 +73,5 @@ echo "=== C done $(date) ==="
 
 echo "=== D: MBv1 packed HBM table $(date) ==="
 python scripts/mbv1_packed_hbm.py > logs/r5_mbv1_hbm.json 2> logs/r5_mbv1_hbm.log
-echo "=== D done $(date) rc=$? ==="
+rc=$?
+echo "=== D done $(date) rc=$rc ==="

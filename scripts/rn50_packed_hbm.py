@@ -86,13 +86,17 @@ def make_train_step(model, variables, tx):
   return step
 
 
-def time_inference(model, variables, batch, dtype):
+def time_inference_with(model, variables, batch, dtype, *, image,
+                        warmup, iters):
   """Chained jitted forwards: each consumes a summary of the previous
-  output so the chain is sequential; sync on a final readback."""
+  output so the chain is sequential; sync on a final readback.  Shared
+  by the MBv1 twin script (scripts/mbv1_packed_hbm.py) — the chaining +
+  final-readback discipline is the load-bearing part (CLAUDE.md TPU
+  timing notes), so it lives in exactly one place."""
   import jax
   import jax.numpy as jnp
   rs = np.random.RandomState(0)
-  x = jnp.asarray(rs.randn(batch, IMAGE, IMAGE, 3), dtype)
+  x = jnp.asarray(rs.randn(batch, image, image, 3), dtype)
   packings = variables.get('packing', {})
 
   @jax.jit
@@ -103,14 +107,19 @@ def time_inference(model, variables, batch, dtype):
     return lg, jnp.sum(lg.astype(jnp.float32)) * 1e-12 + bias
 
   bias = jnp.zeros((), jnp.float32)
-  for _ in range(WARMUP):
+  for _ in range(warmup):
     lg, bias = fwd(x + bias, bias)
   _ = float(bias)
   t0 = time.perf_counter()
-  for _ in range(ITERS):
+  for _ in range(iters):
     lg, bias = fwd(x + bias, bias)
   _ = float(bias)
-  return (time.perf_counter() - t0) / ITERS
+  return (time.perf_counter() - t0) / iters
+
+
+def time_inference(model, variables, batch, dtype):
+  return time_inference_with(model, variables, batch, dtype,
+                             image=IMAGE, warmup=WARMUP, iters=ITERS)
 
 
 def main():
