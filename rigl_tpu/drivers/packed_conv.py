@@ -175,6 +175,8 @@ def main(argv):
   trainer = PackedClassifierTrainer(model, twin, cfg,
                                     input_shape=info['shape'],
                                     model_sharded=model_sharded)
+  if FLAGS.output_dir and trainer.restore(FLAGS.output_dir):
+    print(f'# resumed at step {trainer.step}')
 
   result = trainer.train(
       (np.asarray(train_ds.images), np.asarray(train_ds.labels)),
@@ -186,7 +188,7 @@ def main(argv):
   result['algo'] = algo
 
   if FLAGS.output_dir:
-    os.makedirs(FLAGS.output_dir, exist_ok=True)
+    trainer.save(FLAGS.output_dir)
     with open(os.path.join(FLAGS.output_dir, 'result.json'), 'w') as f:
       json.dump(result, f, indent=2)
   print(json.dumps(result, indent=2))

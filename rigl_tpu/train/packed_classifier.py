@@ -17,6 +17,7 @@ consumes a batch WITHOUT advancing the step counter
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import flax.traverse_util as traverse
@@ -331,3 +332,63 @@ class PackedClassifierTrainer:
     if eval_xy is not None:
       result['eval_top_1'] = self.evaluate(*eval_xy)
     return result
+
+  # ----------------------------------------------------------------- ckpt ----
+  def save(self, path: str):
+    """Packed params + occupancy grids (packings rebuild deterministically
+    from occupancy + the static n_active) + optimizer leaves + counters +
+    SNFS EMA — the same npz contract as PackedLMTrainer.save."""
+    from rigl_tpu.ops.pallas.block_sparse_packed import make_packing  # noqa: F401
+    os.makedirs(path, exist_ok=True)
+    flat = {'step': np.asarray(self.step),
+            'last_update': np.asarray(self.last_update_step),
+            'batches_seen': np.asarray(self.batches_seen)}
+    for p, pk in traverse.flatten_dict(self.packings).items():
+      occ = (tp.tp_occupancy_grid(pk) if tp.is_stacked(pk)
+             else pt.occupancy_grid(pk))
+      flat['occ_' + '/'.join(p)] = np.asarray(occ)
+    for p, v in traverse.flatten_dict(self.params).items():
+      flat['param_' + '/'.join(p)] = np.asarray(v)
+    if self.ema_grids is not None:
+      for p, v in self.ema_grids.items():
+        flat['ema_' + '/'.join(p)] = np.asarray(v)
+    leaves, _ = jax.tree.flatten(self.opt_state)
+    for i, leaf in enumerate(leaves):
+      flat[f'opt_{i}'] = np.asarray(leaf)
+    np.savez(os.path.join(path, 'packed_classifier_state.npz'), **flat)
+
+  def restore(self, path: str) -> bool:
+    from rigl_tpu.ops.pallas.block_sparse_packed import make_packing
+    f = os.path.join(path, 'packed_classifier_state.npz')
+    if not os.path.exists(f):
+      return False
+    if self.opt_state is None:
+      self.init_state()
+    z = np.load(f)
+    self.step = int(z['step'])
+    self.last_update_step = int(z['last_update'])
+    self.batches_seen = int(z['batches_seen'])
+    flat_pk = traverse.flatten_dict(self.packings)
+    flat_p = traverse.flatten_dict(self.params)
+    new_pk, new_p = {}, {}
+    for p in flat_pk:
+      occ = jnp.asarray(z['occ_' + '/'.join(p)])
+      if tp.is_stacked(flat_pk[p]):
+        # Stacked layout: per-group cap is the static shard shape.
+        new_pk[p] = tp.stacked_packing_from_occ(
+            occ, int(flat_p[p].shape[0]), int(flat_p[p].shape[1]))
+      else:
+        new_pk[p] = make_packing(occ, int(flat_p[p].shape[0]))
+    for p in flat_p:
+      new_p[p] = jnp.asarray(z['param_' + '/'.join(p)])
+    self.packings = traverse.unflatten_dict(new_pk)
+    self.params = traverse.unflatten_dict(new_p)
+    if self.ema_grids is not None:
+      self.ema_grids = {p: jnp.asarray(z['ema_' + '/'.join(p)])
+                        for p in self.ema_grids}
+    leaves, treedef = jax.tree.flatten(self.opt_state)
+    self.opt_state = jax.tree.unflatten(
+        treedef, [jnp.asarray(z[f'opt_{i}']) for i in range(len(leaves))])
+    self._jit_step = None
+    self._jit_update = None
+    return True

@@ -279,3 +279,51 @@ def test_packed_mbv1_trains_with_rigl_updates():
   assert np.isfinite(res['final_loss'])
   for p, pk in traverse.flatten_dict(tr.packings).items():
     assert np.asarray(occupancy_grid(pk)).sum() == occ0[p].sum(), p
+
+
+def test_packed_classifier_checkpoint_resume_is_deterministic(tmp_path):
+  """save/restore mid-run resumes bit-identically to an uninterrupted
+  run — incl. per-layer ERK n_active (occupancy rebuild) and the SNFS
+  EMA state (the PackedLMTrainer npz contract for the conv family)."""
+  import flax.traverse_util as traverse
+  from rigl_tpu.models.packed_convnet import convnet_layer_shapes
+  from rigl_tpu.sparsity.layer_sparsity import make_sparsity_map
+  from rigl_tpu.transforms.packed_training import occupancy_grid
+  kw = dict(num_classes=10, stem_width=16, stages=((32, 1), (64, 1)))
+  erk = make_sparsity_map(convnet_layer_shapes(16, kw['stages']),
+                         'erdos_renyi_kernel', 0.6)
+  rs = np.random.RandomState(0)
+  x = rs.randn(128, 8, 8, 1).astype(np.float32)
+  y = rs.randint(0, 10, 128).astype(np.int32)
+
+  def make(train_steps):
+    cfg = PackedClassifierConfig(
+        sparsity=0.6, block=(16, 16), learning_rate=0.05,
+        train_steps=train_steps, batch_size=32, maskupdate_begin_step=0,
+        maskupdate_end_step=100, maskupdate_frequency=4,
+        drop_fraction=0.4, seed=0, algo='snfs')
+    model = PackedConvNet(sparsity=erk, block=cfg.block, bm=32, **kw)
+    twin = DenseConvNet(**kw)
+    return PackedClassifierTrainer(model, twin, cfg, input_shape=(8, 8, 1))
+
+  tr_a = make(14)
+  tr_a.train((x, y))
+  tr_b = make(7)
+  tr_b.train((x, y))
+  tr_b.save(str(tmp_path))
+  tr_c = make(14)
+  assert tr_c.restore(str(tmp_path))
+  assert tr_c.step == 7
+  tr_c.train((x, y))
+  fa = traverse.flatten_dict(tr_a.params)
+  fc = traverse.flatten_dict(tr_c.params)
+  for p in fa:
+    np.testing.assert_array_equal(np.asarray(fa[p]), np.asarray(fc[p]),
+                                  err_msg='/'.join(p))
+  for p, pk in traverse.flatten_dict(tr_a.packings).items():
+    np.testing.assert_array_equal(
+        np.asarray(occupancy_grid(pk)),
+        np.asarray(occupancy_grid(traverse.flatten_dict(tr_c.packings)[p])))
+  for p in tr_a.ema_grids:
+    np.testing.assert_array_equal(np.asarray(tr_a.ema_grids[p]),
+                                  np.asarray(tr_c.ema_grids[p]))
