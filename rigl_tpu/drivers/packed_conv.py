@@ -62,6 +62,13 @@ safe_flags.DEFINE_integer('conv_n_model', 1, 'tensor-parallel column '
                           'groups (packed kernels shard over model axis)')
 safe_flags.DEFINE_float('snfs_momentum', 0.9, 'EMA decay for '
                         '--training_method=momentum (SNFS) grow scores')
+safe_flags.DEFINE_string('custom_sparsity_map', None,
+                         'JSON {layer_path: sparsity} overrides excluded '
+                         'from the ERK solve (the reference\'s '
+                         'set_custom_sparsity_map, '
+                         'imagenet_train_eval.py:308-316); paths per the '
+                         'arch layer_shapes helper, e.g. '
+                         '"{\\"stage0/pw/kernel\\": 0.0}"')
 
 
 def main(argv):
@@ -110,6 +117,8 @@ def main(argv):
   # static n_active via sparsity/layer_sparsity.spec_for_model over the
   # arch family's dense conv shapes.
   from rigl_tpu.sparsity.layer_sparsity import spec_for_model
+  custom_map = (json.loads(FLAGS.custom_sparsity_map)
+                if FLAGS.custom_sparsity_map else None)
   if FLAGS.arch == 'rn50':
     from rigl_tpu.models.packed_convnet import (DenseResNetTwin,
                                                 PackedResNet,
@@ -120,6 +129,7 @@ def main(argv):
     sparsity = spec_for_model(
         resnet_layer_shapes(FLAGS.rn_depth, FLAGS.rn_width_mult, cfg.block),
         FLAGS.mask_init_method, FLAGS.end_sparsity,
+        custom_sparsity_map=custom_map,
         erk_power_scale=FLAGS.erk_power_scale)
     rn = dict(depth=FLAGS.rn_depth, width_mult=FLAGS.rn_width_mult,
               num_classes=info['num_classes'])
@@ -137,6 +147,7 @@ def main(argv):
     sparsity = spec_for_model(
         mbv1_layer_shapes(FLAGS.mbv1_width, cfg.block),
         FLAGS.mask_init_method, FLAGS.end_sparsity,
+        custom_sparsity_map=custom_map,
         erk_power_scale=FLAGS.erk_power_scale)
     mb = dict(width_mult=FLAGS.mbv1_width, num_classes=info['num_classes'])
     model = PackedMobileNetV1(sparsity=sparsity, block=cfg.block,
@@ -152,6 +163,7 @@ def main(argv):
     sparsity = spec_for_model(
         wrn_layer_shapes(FLAGS.wrn_depth, FLAGS.wrn_width),
         FLAGS.mask_init_method, FLAGS.end_sparsity,
+        custom_sparsity_map=custom_map,
         erk_power_scale=FLAGS.erk_power_scale)
     wrn = dict(depth=FLAGS.wrn_depth, width=FLAGS.wrn_width,
                num_classes=info['num_classes'])
@@ -163,6 +175,7 @@ def main(argv):
     sparsity = spec_for_model(
         convnet_layer_shapes(FLAGS.stem_width, stages),
         FLAGS.mask_init_method, FLAGS.end_sparsity,
+        custom_sparsity_map=custom_map,
         erk_power_scale=FLAGS.erk_power_scale)
     net = dict(num_classes=info['num_classes'],
                stem_width=FLAGS.stem_width, stages=stages)
