@@ -410,7 +410,37 @@ def main_all():
   }))
 
 
+def _backend_alive(timeout_s: int = 240) -> bool:
+  """Probe remote-backend init in a SUBPROCESS with a hard timeout.
+
+  The axon tunnel's claim handshake blocks indefinitely inside jax
+  backend init when the pool is unreachable (observed round 5: a wedged
+  pool froze `jax.devices()` with no error for hours).  A hung bench
+  would stall the whole round-end capture; failing fast records an
+  error line instead.  Normal init over the tunnel is seconds, so 240 s
+  is generous.  CPU-forced runs skip the probe.
+  """
+  if os.environ.get('JAX_PLATFORMS', '') == 'cpu':
+    return True
+  import subprocess
+  try:
+    subprocess.run(
+        [sys.executable, '-c', 'import jax; jax.devices()'],
+        timeout=timeout_s, check=True, capture_output=True)
+    return True
+  except Exception:
+    return False
+
+
 if __name__ == '__main__':
+  if not _backend_alive():
+    print(json.dumps({
+        'metric': 'bench_backend_unavailable',
+        'value': 0.0, 'unit': 'error', 'vs_baseline': 0.0,
+        'error': 'remote TPU backend init timed out (axon tunnel '
+                 'unreachable); see PERF.md round-5 outage note',
+    }))
+    sys.exit(0)
   _workload = os.environ.get('BENCH_WORKLOAD', 'all')
   if _workload == 'all':
     main_all()
