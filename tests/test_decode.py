@@ -286,3 +286,24 @@ def test_kv_chunked_varlen_prompts_match_unchunked():
 
   np.testing.assert_allclose(np.asarray(run(4)), np.asarray(run(0)),
                              rtol=2e-4, atol=2e-5)
+
+
+def test_kv_chunked_compiles_to_real_conditionals():
+  """The chunk-skip lax.cond must survive compilation as real HLO
+  conditionals (one per chunk) — if XLA flattened them to selects, both
+  branches would execute and the bandwidth skipping would silently
+  vanish (correctness unaffected, perf claim gone)."""
+  model = _models('dense')
+  toks = jnp.zeros((1, 4), jnp.int32)
+  variables = model.init(jax.random.key(0), toks)
+  dm = decode_twin(model, L, kv_chunk=4)          # L=16 -> 4 chunks
+  cache = jax.jit(dm.init)(jax.random.key(0),
+                           jnp.zeros((1, 1), jnp.int32))['cache']
+
+  def step(cache, tok):
+    lg, mut = dm.apply(dict(variables, cache=cache), tok,
+                       mutable=['cache'])
+    return lg, mut['cache']
+
+  hlo = jax.jit(step).lower(cache, toks[:, :1]).compile().as_text()
+  assert hlo.count('conditional') >= 2, hlo.count('conditional')
