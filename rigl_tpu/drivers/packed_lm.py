@@ -80,7 +80,10 @@ safe_flags.DEFINE_float('generate_top_p', 1.0, 'nucleus (top-p) sampling '
 safe_flags.DEFINE_integer('generate_kv_chunk', 0, 'chunked KV-cache '
                           'attention: per-step KV reads scale with the '
                           'live prefix instead of the allocated cache '
-                          '(0 = off; must divide the cache length)')
+                          '(0 = off; must divide the cache length). '
+                          'Enable when allocated/live >= ~2x with chunk '
+                          '~= expected live prefix (measured 2.9x there; '
+                          '~32% overhead on tight allocations — PERF.md)')
 safe_flags.DEFINE_float('snfs_momentum', 0.9, 'EMA decay for '
                         '--training_method=momentum (SNFS) grow scores')
 
